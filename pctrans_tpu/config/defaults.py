@@ -1,0 +1,197 @@
+"""Default configuration tree.
+
+Key names follow the reference framework so its YAML experiment configs load
+unchanged (reference: connectomics/config/defaults.py:6-459 and
+connectomics/config/maskfoermer_config.py:6-211 — note the reference's
+filename typo is not reproduced).  Only keys consumed by the TPU rebuild are
+given defaults here; unknown keys from user YAMLs are accepted and carried
+through untouched.
+"""
+
+from .node import CfgNode
+
+
+def get_cfg_defaults() -> CfgNode:
+    c = CfgNode()
+
+    # ------------------------------------------------------------------ SYSTEM
+    c.SYSTEM = CfgNode()
+    c.SYSTEM.NUM_GPUS = 1            # kept for config compatibility; on TPU this
+    c.SYSTEM.NUM_CPUS = 4            # maps to the number of mesh devices.
+    c.SYSTEM.NUM_DEVICES = -1        # -1: use all local JAX devices
+    c.SYSTEM.PARALLEL = "DP"
+    c.SYSTEM.DISTRIBUTED = False
+    c.SYSTEM.DISTRIBUTED_BACKEND = "ici"  # reference: nccl / gloo
+
+    # ------------------------------------------------------------------- MODEL
+    c.MODEL = CfgNode()
+    c.MODEL.ARCHITECTURE = "MaskFormer"
+    c.MODEL.INPUT_SIZE = [448, 448]
+    c.MODEL.OUTPUT_SIZE = [1, 448, 448]
+    c.MODEL.IN_PLANES = 3
+    c.MODEL.OUT_PLANES = 1
+    c.MODEL.TARGET_OPT = ["9"]
+    c.MODEL.LABEL_EROSION = 0
+    c.MODEL.BLOCK_TYPE = "residual"
+    c.MODEL.NORM_MODE = "sync_bn"    # on TPU batch stats sync via the data axis
+    c.MODEL.MIXED_PRECESION = False  # (sic) key name kept for compatibility
+    c.MODEL.PRE_MODEL_ITER = 0
+    c.MODEL.WEIGHTS = ""             # path to converted R-50 weights (.pkl or .npz)
+    c.MODEL.PIXEL_MEAN = [0.0, 0.0, 0.0]
+    c.MODEL.PIXEL_STD = [255.0, 255.0, 255.0]
+    # Maximum number of padded GT instances per image (static shapes for jit).
+    # CVPPP leaves max ~45/image; BBBC nuclei can exceed 100.
+    c.MODEL.MAX_INSTANCES = 64
+
+    c.MODEL.BACKBONE = CfgNode()
+    c.MODEL.BACKBONE.NAME = "build_resnet_backbone"
+    c.MODEL.BACKBONE.FREEZE_AT = 0
+
+    c.MODEL.RESNETS = CfgNode()
+    c.MODEL.RESNETS.DEPTH = 50
+    c.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+    c.MODEL.RESNETS.STEM_TYPE = "basic"
+    c.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+    c.MODEL.RESNETS.STRIDE_IN_1X1 = False
+    c.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    c.MODEL.RESNETS.NORM = "FrozenBN"
+    c.MODEL.RESNETS.RES5_MULTI_GRID = [1, 1, 1]
+
+    c.MODEL.SEM_SEG_HEAD = CfgNode()
+    c.MODEL.SEM_SEG_HEAD.NAME = "MaskFormerHead"
+    c.MODEL.SEM_SEG_HEAD.IGNORE_VALUE = 0
+    c.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 2
+    c.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT = 1.0
+    c.MODEL.SEM_SEG_HEAD.CONVS_DIM = 128
+    c.MODEL.SEM_SEG_HEAD.MASK_DIM = 16
+    c.MODEL.SEM_SEG_HEAD.NORM = "SyncBN"
+    c.MODEL.SEM_SEG_HEAD.PIXEL_DECODER_NAME = "MSDeformAttnPixelDecoder"
+    c.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    c.MODEL.SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES = ["res3", "res4", "res5"]
+    c.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
+    c.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 6
+
+    mf = CfgNode()
+    mf.TRANSFORMER_DECODER_NAME = "MultiScaleMaskedTransformerDecoder"
+    mf.TRANSFORMER_IN_FEATURE = "multi_scale_pixel_decoder"
+    mf.DEEP_SUPERVISION = True
+    mf.NO_OBJECT_WEIGHT = 0.1
+    mf.CLASS_WEIGHT = 2.0
+    mf.MASK_WEIGHT = 5.0
+    mf.DICE_WEIGHT = 5.0
+    mf.REID_WEIGHT_QUERY = 2.0
+    mf.REID_WEIGHT_MASK = 2.0
+    mf.REF_POINTS_WEIGHT = 2.0
+    mf.SEM_WEIGHT = 5.0
+    mf.EMB_WEIGHT = 2.0
+    mf.SEMANTIC_LOSS_ON = True
+    mf.SEMANTIC_NORM = "SyncBN"
+    mf.POSITION_POINTS_NUM = 1
+    mf.REL_COORD = True
+    mf.HIDDEN_DIM = 128
+    mf.NUM_OBJECT_QUERIES = 100
+    mf.NHEADS = 8
+    mf.DROPOUT = 0.0
+    mf.DIM_FEEDFORWARD = 1024
+    mf.ENC_LAYERS = 0
+    mf.DEC_LAYERS = 10               # 9 decoder layers + 1 loss on learnable queries
+    mf.PRE_NORM = False
+    mf.ENFORCE_INPUT_PROJ = False
+    mf.SIZE_DIVISIBILITY = 32
+    mf.TRAIN_NUM_POINTS = 12544
+    mf.OVERSAMPLE_RATIO = 3.0
+    mf.IMPORTANCE_SAMPLE_RATIO = 0.75
+    mf.TEST = CfgNode()
+    mf.TEST.SEMANTIC_ON = False
+    mf.TEST.INSTANCE_ON = True
+    mf.TEST.PANOPTIC_ON = False
+    mf.TEST.OVERLAP_THRESHOLD = 0.8
+    mf.TEST.OBJECT_MASK_THRESHOLD = 0.8
+    mf.TEST.SEM_SEG_POSTPROCESSING_BEFORE_INFERENCE = False
+    c.MODEL.MASK_FORMER = mf
+
+    # ----------------------------------------------------------------- DATASET
+    c.DATASET = CfgNode()
+    c.DATASET.DATA_TYPE = "CVPPP"    # CVPPP | BBBC | synthetic
+    c.DATASET.INPUT_PATH = ""
+    c.DATASET.OUTPUT_PATH = "outputs/"
+    c.DATASET.IMAGE_NAME = ""
+    c.DATASET.LABEL_NAME = ""
+    c.DATASET.VAL_IMAGE_NAME = None
+    c.DATASET.VAL_LABEL_NAME = None
+    c.DATASET.DO_2D = True
+    c.DATASET.REDUCE_LABEL = True
+    c.DATASET.PAD_SIZE = [0, 0, 0]
+    c.DATASET.VAL_PAD_SIZE = [0, 0, 0]
+    c.DATASET.DO_CHUNK_TITLE = 0
+    c.DATASET.POST_PROCESS = "none"
+
+    # --------------------------------------------------------------- AUGMENTOR
+    c.AUGMENTOR = CfgNode()
+    c.AUGMENTOR.SMOOTH = False
+
+    # ------------------------------------------------------------------ SOLVER
+    c.SOLVER = CfgNode()
+    c.SOLVER.NAME = "AdamW"
+    c.SOLVER.BASE_LR = 1e-4
+    c.SOLVER.BIAS_LR_FACTOR = 1.0
+    c.SOLVER.MOMENTUM = 0.9
+    c.SOLVER.BETAS = (0.9, 0.999)
+    c.SOLVER.WEIGHT_DECAY = 0.05
+    c.SOLVER.WEIGHT_DECAY_NORM = 0.0
+    c.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+    c.SOLVER.BACKBONE_MULTIPLIER = 0.1   # present in configs; reference disables it
+    c.SOLVER.LR_SCHEDULER_NAME = "WarmupPolyLR"
+    c.SOLVER.WARMUP_FACTOR = 0.001
+    c.SOLVER.WARMUP_ITERS = 1000
+    c.SOLVER.WARMUP_METHOD = "linear"
+    c.SOLVER.POLY_POWER = 0.9
+    c.SOLVER.GAMMA = 0.1
+    c.SOLVER.STEPS = (30000,)
+    c.SOLVER.ITERATION_TOTAL = 30000
+    c.SOLVER.ITERATION_STEP = 1
+    c.SOLVER.ITERATION_SAVE = 1000
+    c.SOLVER.ITERATION_VAL = 1000
+    c.SOLVER.START_SAVE = 10000
+    c.SOLVER.ITERATION_RESTART = False
+    c.SOLVER.SAMPLES_PER_BATCH = 2
+    c.SOLVER.CLIP_GRADIENTS = CfgNode()
+    c.SOLVER.CLIP_GRADIENTS.ENABLED = False
+    c.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "full_model"
+    c.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 0.01
+    c.SOLVER.CLIP_GRADIENTS.NORM_TYPE = 2.0
+    c.SOLVER.SWA = CfgNode()
+    c.SOLVER.SWA.ENABLED = False
+    c.SOLVER.SWA.LR_FACTOR = 0.05
+    c.SOLVER.SWA.START_ITER = 0
+    c.SOLVER.SWA.MERGE_ITER = 10
+    c.SOLVER.SWA.BN_UPDATE_ITER = 10
+
+    # ----------------------------------------------------------------- MONITOR
+    c.MONITOR = CfgNode()
+    c.MONITOR.LOG_OPT = [1, 1, 0]
+    c.MONITOR.VIS_OPT = [0, 8]
+    c.MONITOR.ITERATION_NUM = [20, 200]
+
+    # --------------------------------------------------------------- INFERENCE
+    c.INFERENCE = CfgNode()
+    c.INFERENCE.INPUT_SIZE = [1, 1024, 1024]
+    c.INFERENCE.OUTPUT_SIZE = [1, 1024, 1024]
+    c.INFERENCE.INPUT_PATH = ""
+    c.INFERENCE.OUTPUT_PATH = "outputs/test/"
+    c.INFERENCE.IMAGE_NAME = ""
+    c.INFERENCE.OUTPUT_NAME = "result.h5"
+    c.INFERENCE.OUTPUT_ACT = ["sigmoid"]
+    c.INFERENCE.PAD_SIZE = [0, 0, 0]
+    c.INFERENCE.AUG_MODE = None
+    c.INFERENCE.AUG_NUM = None
+    c.INFERENCE.STRIDE = [0, 80, 80]
+    c.INFERENCE.SAMPLES_PER_BATCH = 4
+    c.INFERENCE.DO_EVAL = True
+
+    # -------------------------------------------------------------------- TEST
+    c.TEST = CfgNode()
+    c.TEST.DETECTIONS_PER_IMAGE = 100
+    c.TEST.THRESHOLD = 0.5
+
+    return c
