@@ -81,7 +81,7 @@ def get_cfg_defaults() -> CfgNode:
     mf.DICE_WEIGHT = 5.0
     mf.REID_WEIGHT_QUERY = 2.0
     mf.REID_WEIGHT_MASK = 2.0
-    mf.REF_POINTS_WEIGHT = 2.0
+    mf.REF_POINTS_WEIGHT = 5.0
     mf.SEM_WEIGHT = 5.0
     mf.EMB_WEIGHT = 2.0
     mf.SEMANTIC_LOSS_ON = True

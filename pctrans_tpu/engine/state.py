@@ -1,0 +1,114 @@
+"""Train state and the jitted train/eval step factories.
+
+One optimizer step = the reference's Trainer.train() hot path
+(engine/trainer.py:113-202) collapsed into a single XLA program: target prep
+(prepare_intance_targets), forward, per-layer Hungarian matching, the full
+loss stack, backward and the optimizer update all run on device; under a
+batch-sharded mesh the gradient all-reduce is implicit (the DDP equivalent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..data.targets import targets_from_labels
+from ..losses import SetCriterion
+from ..models import PCTransModel, ModelConfig
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    frozen: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def init_state(
+    rng: jax.Array,
+    model_config: ModelConfig,
+    tx: optax.GradientTransformation,
+    input_shape,
+) -> TrainState:
+    model = PCTransModel(config=model_config, train=True)
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        frozen=variables.get("frozen", {}),
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model_config: ModelConfig,
+    criterion: SetCriterion,
+    tx: optax.GradientTransformation,
+    max_instances: int,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ``batch``: {"image": [B, H, W, 3] float32, "label": [B, H, W] int32}.
+    """
+    model = PCTransModel(config=model_config, train=True, axis_name=axis_name)
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        targets = targets_from_labels(batch["label"], max_instances)
+
+        has_bn = bool(state.batch_stats)
+
+        def loss_fn(params):
+            variables = {"params": params, "frozen": state.frozen}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                out, mut = model.apply(variables, batch["image"], mutable=["batch_stats"])
+            else:
+                out = model.apply(variables, batch["image"])
+                mut = {}
+            total, losses = criterion(step_rng, out, targets)
+            return total, (losses, mut)
+
+        (total, (losses, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            batch_stats=mut.get("batch_stats", state.batch_stats),
+        )
+        metrics = {"loss": total, **losses}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model_config: ModelConfig) -> Callable:
+    """Returns eval_step(state, images) -> sigmoid mask probabilities
+    upsampled to input resolution [B, Q, H, W] (arch/maskformer.py:210-219)."""
+    model = PCTransModel(config=model_config, train=False)
+
+    def eval_step(state: TrainState, images: jnp.ndarray):
+        variables = {"params": state.params, "frozen": state.frozen}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, images)
+        masks = out["pred_masks"]  # [B, Q, H/2, W/2]
+        H, W = images.shape[1:3]
+        from ..ops.resize import resize_bilinear
+
+        masks = resize_bilinear(masks, (H, W))
+        return jax.nn.sigmoid(masks)
+
+    return eval_step

@@ -1,0 +1,215 @@
+"""SetCriterion: the full PCTrans loss stack, in-jit with padded shapes.
+
+Reference: connectomics/model/loss/maskformer_criterion.py:118-506 plus the
+loss-weight dictionary assembled in arch/maskformer.py:97-136.  Losses:
+
+* ``masks`` (sigmoid-CE + dice at ``num_points`` importance-sampled points,
+  PointRend-style) for the final prediction and each of the 9 auxiliary
+  layer outputs (deep supervision);
+* ``refpoints`` — L1 between matched queries' refined reference points and
+  GT instance centers, for the final layer and aux layers 1..8;
+* ``reid_query`` / ``reid_mask`` — query-contrast losses (final layer only);
+* ``sem`` — focal loss on a subsampled foreground map.  NOTE: the published
+  reference subsamples the target at stride 8 while its semantic logits are
+  stride 4 (maskformer_criterion.py:412 vs msdeformattn.py:360), which does
+  not broadcast — an as-published crash.  We subsample at the logits' actual
+  stride, preserving the intent;
+* ``embedding`` — discriminative push-pull loss on the pixel embedding.
+
+``num_masks`` normalization: the reference all-reduces the GT instance count
+across ranks and divides by world size (criterion.py:464-470); under a jit
+program with a batch-sharded mesh the global sum falls out of ``jnp.sum``
+directly and the gradient is identical.
+
+Matching runs for all 10 per-layer mask predictions as one vmapped in-jit
+pass (the reference calls scipy on the CPU per layer inside the model
+forward, mask2former_transformer_decoder.py:548,603).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.point_sample import get_uncertain_point_coords, point_sample
+from .contrast import cosine_similarity_matrix, pairwise_mask_dice, reid_losses_one_image
+from .discriminative import discriminative_loss
+from .matcher import point_matcher_indices
+
+
+@dataclasses.dataclass(frozen=True)
+class CriterionConfig:
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    refpoints_weight: float = 5.0
+    reid_query_weight: float = 2.0
+    reid_mask_weight: float = 2.0
+    sem_weight: float = 5.0
+    emb_weight: float = 2.0
+    sem_loss_on: bool = True
+    dec_layers: int = 10  # total mask predictions (9 decoder layers + 1)
+
+
+def build_criterion(cfg) -> "SetCriterion":
+    mf = cfg.MODEL.MASK_FORMER
+    return SetCriterion(
+        CriterionConfig(
+            num_points=mf.TRAIN_NUM_POINTS,
+            oversample_ratio=mf.OVERSAMPLE_RATIO,
+            importance_sample_ratio=mf.IMPORTANCE_SAMPLE_RATIO,
+            mask_weight=mf.MASK_WEIGHT,
+            dice_weight=mf.DICE_WEIGHT,
+            refpoints_weight=mf.REF_POINTS_WEIGHT,
+            reid_query_weight=mf.REID_WEIGHT_QUERY,
+            reid_mask_weight=mf.REID_WEIGHT_MASK,
+            sem_weight=mf.SEM_WEIGHT,
+            emb_weight=mf.EMB_WEIGHT,
+            sem_loss_on=mf.SEMANTIC_LOSS_ON,
+            dec_layers=mf.DEC_LAYERS,
+        )
+    )
+
+
+def _bce_logits(x, y):
+    return jax.nn.softplus(-x) * y + jax.nn.softplus(x) * (1.0 - y)
+
+
+class SetCriterion:
+    def __init__(self, config: CriterionConfig):
+        self.cfg = config
+
+    # -------------------------------------------------------------- pieces
+    def _layer_mask_losses(self, rng, pred, tgt_masks, q4g, valid, num_masks):
+        """Point-sampled sigmoid-CE + dice for one prediction layer
+        (maskformer_criterion.py:216-285)."""
+        c = self.cfg
+        B, Q, h, w = pred.shape
+        G = q4g.shape[1]
+        src = jnp.take_along_axis(pred, q4g[:, :, None, None], axis=1)  # [B, G, h, w]
+        src = src.reshape(B * G, 1, h, w)
+        tgt = tgt_masks.reshape(B * G, 1, *tgt_masks.shape[2:])
+
+        coords = get_uncertain_point_coords(
+            rng, jax.lax.stop_gradient(src), c.num_points,
+            c.oversample_ratio, c.importance_sample_ratio,
+        )
+        labels = jax.lax.stop_gradient(point_sample(tgt, coords)[:, 0])
+        logits = point_sample(src, coords)[:, 0]
+
+        vmask = valid.reshape(-1).astype(logits.dtype)
+        ce = _bce_logits(logits, labels).mean(axis=1)
+        sig = jax.nn.sigmoid(logits)
+        dice = 1.0 - (2.0 * (sig * labels).sum(1) + 1.0) / (sig.sum(1) + labels.sum(1) + 1.0)
+        return (ce * vmask).sum() / num_masks, (dice * vmask).sum() / num_masks
+
+    def _refpoints_loss(self, coords, centers, q4g, valid, num_masks):
+        """L1 on matched reference points (maskformer_criterion.py:385-400)."""
+        src = jnp.take_along_axis(coords, q4g[:, :, None], axis=1)       # [B, G, 2]
+        l1 = jnp.abs(src - centers).sum(-1)
+        return (l1 * valid).sum() / num_masks
+
+    def _sem_loss(self, sem_logits, fg):
+        """Focal loss on the subsampled FG map (maskformer_criterion.py:402-426)."""
+        B, Hs, Ws, _ = sem_logits.shape
+        H = fg.shape[1]
+        stride = H // Hs
+        tgt = fg[:, stride // 2 :: stride, stride // 2 :: stride][..., None]
+        tgt = jax.lax.stop_gradient(tgt.astype(sem_logits.dtype))
+        num_pos = jnp.maximum((tgt > 0).sum().astype(sem_logits.dtype), 1.0)
+        p = jax.nn.sigmoid(sem_logits)
+        ce = _bce_logits(sem_logits, tgt)
+        p_t = p * tgt + (1 - p) * (1 - tgt)
+        alpha_t = 0.25 * tgt + 0.75 * (1 - tgt)
+        focal = alpha_t * ce * (1 - p_t) ** 2
+        return focal.sum() / num_pos
+
+    # -------------------------------------------------------------- forward
+    def __call__(self, rng: jax.Array, outputs: Dict, targets: Dict):
+        """Returns (total_weighted_loss, dict of raw per-loss scalars)."""
+        c = self.cfg
+        all_masks = outputs["aux_masks"] + [outputs["pred_masks"]]  # len L
+        L = len(all_masks)
+        assert L == c.dec_layers
+        stacked = jnp.stack(all_masks)  # [L, B, Q, h, w]
+
+        tgt_masks = targets["masks"]
+        valid = targets["valid"]
+        B, G = valid.shape
+
+        k_match, k_points, k_reid = jax.random.split(rng, 3)
+        match_keys = jax.random.split(k_match, L)
+        # Matching is a discrete decision (reference matcher is @torch.no_grad);
+        # stop_gradient keeps the LAP solver loops out of the backward graph.
+        stacked_ng = jax.lax.stop_gradient(stacked)
+        indices = jax.vmap(
+            lambda k, p: point_matcher_indices(
+                k, p, tgt_masks, valid, c.num_points, c.mask_weight, c.dice_weight
+            )
+        )(match_keys, stacked_ng)  # [L, B, G]
+
+        num_masks = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+
+        losses: Dict[str, jnp.ndarray] = {}
+        weights: Dict[str, float] = {}
+
+        # All L predictions share one shape: vmap the point-sampled losses
+        # over the layer axis (one compiled graph instead of L copies).
+        point_keys = jax.random.split(k_points, L)
+        lm, ld = jax.vmap(
+            self._layer_mask_losses, in_axes=(0, 0, None, 0, None, None)
+        )(point_keys, stacked, tgt_masks, indices, valid, num_masks)
+        for l in range(L):
+            mk, dk = ("loss_mask", "loss_dice") if l == L - 1 else (
+                f"loss_mask_{l}", f"loss_dice_{l}")
+            losses[mk], losses[dk] = lm[l], ld[l]
+            weights[mk], weights[dk] = c.mask_weight, c.dice_weight
+
+        # refpoints: aux layers 1..L-2 use layer-(i-1) coords with layer-i
+        # indices (maskformer_criterion.py:501-504); final layer uses the
+        # final coords with the final indices.
+        centers = targets["center_points"]
+        coords_stack = jnp.stack(
+            list(outputs["aux_reference_points"]) + [outputs["reference_points"]]
+        )  # [L-1, B, Q, 2], paired with indices[1:]
+        rp = jax.vmap(self._refpoints_loss, in_axes=(0, None, 0, None, None))(
+            coords_stack, centers, indices[1:], valid, num_masks
+        )
+        for i in range(1, L - 1):
+            losses[f"loss_refpoints_{i}"] = rp[i - 1]
+            weights[f"loss_refpoints_{i}"] = c.refpoints_weight
+        losses["loss_refpoints"] = rp[-1]
+        weights["loss_refpoints"] = c.refpoints_weight
+
+        # query contrast (final layer only)
+        query = outputs["query_emb"]
+        emb_dist = jax.vmap(cosine_similarity_matrix)(query)
+        mask_dice = jax.vmap(pairwise_mask_dice)(outputs["pred_masks"])
+        reid_keys = jax.random.split(k_reid, B)
+        cq, aq, cm, n_items = jax.vmap(reid_losses_one_image)(
+            reid_keys, query, emb_dist, mask_dice, indices[-1], valid
+        )
+        denom = jnp.maximum(n_items.sum().astype(jnp.float32), 1.0)
+        losses["loss_reid_query"] = cq.sum() / denom
+        losses["loss_reid_query_aux"] = aq.sum() / denom
+        losses["loss_reid_mask"] = cm.sum() / denom
+        weights["loss_reid_query"] = c.reid_query_weight
+        weights["loss_reid_query_aux"] = c.reid_query_weight * 1.5
+        weights["loss_reid_mask"] = c.reid_mask_weight
+
+        if c.sem_loss_on and outputs.get("sem_mask") is not None:
+            losses["loss_sem"] = self._sem_loss(outputs["sem_mask"], targets["fg_mask"])
+            weights["loss_sem"] = c.sem_weight
+
+        losses["loss_emb"] = discriminative_loss(
+            outputs["mask_features"], targets["seg"], G
+        )
+        weights["loss_emb"] = c.emb_weight
+
+        total = sum(losses[k] * weights[k] for k in losses)
+        return total, losses

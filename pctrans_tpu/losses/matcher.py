@@ -1,0 +1,77 @@
+"""Point-sampled Hungarian matcher, fully in-jit.
+
+Semantics follow the reference ``Point_HungarianMatcher``
+(connectomics/model/loss/matcher.py:70-165): per image, one shared set of
+``num_points`` uniform-random points is sampled; prediction logits and GT
+masks are bilinearly point-sampled at those coordinates; the cost is
+``cost_mask * sigmoid-CE + cost_dice * dice`` and the assignment is solved
+per image.  The reference moves the cost to the CPU and calls scipy once per
+decoder layer per image (matcher.py:154-156) — ten host syncs per training
+step; here the padded LAP solver (ops/lap.py) runs on device and is vmapped
+over images and decoder layers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lap import match_padded
+from ..ops.point_sample import point_sample
+
+
+def _pair_costs(out_pts: jnp.ndarray, tgt_pts: jnp.ndarray, cost_mask: float, cost_dice: float):
+    """out_pts: [Q, P] logits; tgt_pts: [G, P] binary.  Returns [Q, G] cost."""
+    P = out_pts.shape[1]
+    hi = jax.lax.Precision.HIGHEST  # cost matrices feed the LAP solver: f32
+    pos = jax.nn.softplus(-out_pts)   # BCE(out, 1)
+    neg = jax.nn.softplus(out_pts)    # BCE(out, 0)
+    ce = (jnp.matmul(pos, tgt_pts.T, precision=hi)
+          + jnp.matmul(neg, (1.0 - tgt_pts).T, precision=hi)) / P
+
+    sig = jax.nn.sigmoid(out_pts)
+    numer = 2.0 * jnp.matmul(sig, tgt_pts.T, precision=hi)
+    denom = sig.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
+    dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+    return cost_mask * ce + cost_dice * dice
+
+
+def match_one_image(
+    key: jax.Array,
+    pred_logits: jnp.ndarray,   # [Q, h, w]
+    gt_masks: jnp.ndarray,      # [G, H, W]
+    valid: jnp.ndarray,         # [G] bool
+    num_points: int,
+    cost_mask: float = 5.0,
+    cost_dice: float = 5.0,
+) -> jnp.ndarray:
+    """Returns query4gt int32 [G] (meaningful where ``valid``)."""
+    coords = jax.random.uniform(key, (1, num_points, 2))
+    Q = pred_logits.shape[0]
+    G = gt_masks.shape[0]
+    out_pts = point_sample(pred_logits[:, None], jnp.broadcast_to(coords, (Q, num_points, 2)))[:, 0]
+    tgt_pts = point_sample(gt_masks[:, None], jnp.broadcast_to(coords, (G, num_points, 2)))[:, 0]
+    cost = _pair_costs(out_pts.astype(jnp.float32), tgt_pts.astype(jnp.float32),
+                       cost_mask, cost_dice)
+    return match_padded(cost, valid)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def point_matcher_indices(
+    key: jax.Array,
+    pred_logits: jnp.ndarray,   # [B, Q, h, w]
+    gt_masks: jnp.ndarray,      # [B, G, H, W]
+    valid: jnp.ndarray,         # [B, G]
+    num_points: int,
+    cost_mask: float = 5.0,
+    cost_dice: float = 5.0,
+) -> jnp.ndarray:
+    """Batched matching: returns query4gt int32 [B, G]."""
+    B = pred_logits.shape[0]
+    keys = jax.random.split(key, B)
+    fn = partial(match_one_image, num_points=num_points,
+                 cost_mask=cost_mask, cost_dice=cost_dice)
+    return jax.vmap(fn)(keys, pred_logits, gt_masks, valid)

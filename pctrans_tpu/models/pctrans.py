@@ -1,0 +1,125 @@
+"""PCTrans meta-architecture (reference ``MaskFormer``, arch/maskformer.py:22-257).
+
+backbone -> pixel decoder -> transformer decoder.  The model is target-free:
+it always returns the full output dict (per-layer masks, refined reference
+points, final query embeddings, semantic logits, pixel embedding); the
+criterion consumes it during training and the inference postprocessor during
+eval.  Loss weighting and matching live in :mod:`pctrans_tpu.losses`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .pixel_decoder import MSDeformAttnPixelDecoder
+from .resnet import ResNet
+from .transformer_decoder import MultiScaleMaskedTransformerDecoder
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    hidden_dim: int = 128
+    conv_dim: int = 128
+    mask_dim: int = 16
+    num_queries: int = 100
+    nheads: int = 8
+    dim_feedforward: int = 1024
+    enc_layers: int = 6
+    dec_layers: int = 9            # cfg DEC_LAYERS - 1 (reference :491)
+    points_num: int = 1
+    sem_loss_on: bool = True
+    rel_coord: bool = True
+    backbone_depth: int = 50
+    backbone_norm: str = "FrozenBN"
+    head_norm: str = "SyncBN"      # FPN + seg-head norm
+    stride_in_1x1: bool = False
+    enc_points: int = 4
+
+
+def build_model_config(cfg) -> ModelConfig:
+    """Extract a ModelConfig from a YACS-style config tree."""
+    mf = cfg.MODEL.MASK_FORMER
+    sh = cfg.MODEL.SEM_SEG_HEAD
+    return ModelConfig(
+        hidden_dim=mf.HIDDEN_DIM,
+        conv_dim=sh.CONVS_DIM,
+        mask_dim=sh.MASK_DIM,
+        num_queries=mf.NUM_OBJECT_QUERIES,
+        nheads=mf.NHEADS,
+        dim_feedforward=mf.DIM_FEEDFORWARD,
+        enc_layers=sh.TRANSFORMER_ENC_LAYERS,
+        dec_layers=mf.DEC_LAYERS - 1,
+        points_num=mf.POSITION_POINTS_NUM,
+        sem_loss_on=mf.SEMANTIC_LOSS_ON,
+        rel_coord=mf.REL_COORD,
+        backbone_depth=cfg.MODEL.RESNETS.DEPTH,
+        backbone_norm=cfg.MODEL.RESNETS.NORM,
+        head_norm=sh.NORM,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+    )
+
+
+class PCTransModel(nn.Module):
+    """Full PCTrans network.
+
+    __call__(images [B, H, W, 3]) -> dict with keys:
+      pred_masks           [B, Q, H/2, W/2]   final mask logits
+      aux_masks            list of 9 earlier  [B, Q, H/2, W/2]
+      reference_points     [B, Q, 2]
+      aux_reference_points list of 8          [B, Q, 2]
+      query_emb            [B, Q, C]
+      sem_mask             [B, H/4, W/4, 1] or None
+      mask_features        [B, H/4, W/4, C]   pixel embedding (for the
+                                              discriminative loss)
+    """
+
+    config: ModelConfig = ModelConfig()
+    train: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> Dict[str, Any]:
+        c = self.config
+        feats = ResNet(
+            depth=c.backbone_depth,
+            stride_in_1x1=c.stride_in_1x1,
+            norm=c.backbone_norm,
+            train=self.train,
+            axis_name=self.axis_name,
+            name="backbone",
+        )(images)
+
+        mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+            conv_dim=c.conv_dim,
+            mask_dim=c.mask_dim,
+            norm=c.head_norm,
+            transformer_layers=c.enc_layers,
+            n_heads=c.nheads,
+            n_points=c.enc_points,
+            train=self.train,
+            axis_name=self.axis_name,
+            name="pixel_decoder",
+        )(feats)
+
+        out = MultiScaleMaskedTransformerDecoder(
+            hidden_dim=c.hidden_dim,
+            num_queries=c.num_queries,
+            nheads=c.nheads,
+            dim_feedforward=c.dim_feedforward,
+            dec_layers=c.dec_layers,
+            mask_dim=c.mask_dim,
+            points_num=c.points_num,
+            sem_loss_on=c.sem_loss_on,
+            sem_norm=c.head_norm,
+            rel_coord=c.rel_coord,
+            train=self.train,
+            axis_name=self.axis_name,
+            name="predictor",
+        )(multi_scale, mask_features)
+
+        out["mask_features"] = mask_features
+        return out

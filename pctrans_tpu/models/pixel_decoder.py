@@ -1,0 +1,209 @@
+"""MSDeformAttn pixel decoder (flax, NHWC).
+
+Equivalent of the reference ``MSDeformAttnPixelDecoder``
+(maskformer_block/pixel_decoder/msdeformattn.py:164-360): project res3-5 to
+``conv_dim`` channels, run a 6-layer deformable-attention encoder over the
+concatenated flattened levels, reshape back to maps, then fuse res2 through
+one FPN stage to produce stride-4 ``mask_features``.
+
+Levels are ordered low-resolution first (res5, res4, res3), matching the
+reference's top-down iteration (msdeformattn.py:319).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.msdeform import ms_deform_attn_core
+from ..ops.resize import resize_bilinear
+from .layers import ConvNorm, get_norm, position_embedding_sine
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+def _sampling_offset_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Directional bias init for sampling offsets (ms_deform_attn.py:66-74):
+    head h points along angle 2*pi*h/n_heads, scaled by the point index."""
+
+    def init(key, shape, dtype=jnp.float32):
+        thetas = np.arange(n_heads, dtype=np.float32) * (2.0 * math.pi / n_heads)
+        grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # [heads, 2]
+        grid = grid / np.abs(grid).max(-1, keepdims=True)
+        grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+        for i in range(n_points):
+            grid[:, :, i, :] *= i + 1
+        return jnp.asarray(grid.reshape(-1), dtype)
+
+    return init
+
+
+class MSDeformAttn(nn.Module):
+    """Multi-scale deformable attention module (ops/modules/ms_deform_attn.py:34-125)."""
+
+    d_model: int = 128
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,               # [B, Lq, C]
+        reference_points: jnp.ndarray,    # [B, Lq, L, 2] normalized (x, y)
+        input_flatten: jnp.ndarray,       # [B, S, C]
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jnp.ndarray:
+        B, Lq, _ = query.shape
+        S = input_flatten.shape[1]
+        M, L, P = self.n_heads, self.n_levels, self.n_points
+        D = self.d_model // M
+
+        value = nn.Dense(self.d_model, kernel_init=_XAVIER, name="value_proj")(input_flatten)
+        value = value.reshape(B, S, M, D)
+
+        offsets = nn.Dense(
+            M * L * P * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_sampling_offset_bias_init(M, L, P),
+            name="sampling_offsets",
+        )(query).reshape(B, Lq, M, L, P, 2)
+
+        attn = nn.Dense(
+            M * L * P,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(B, Lq, M, L * P)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(B, Lq, M, L, P)
+
+        # normalize offsets by each level's (W, H)
+        normalizer = jnp.asarray(
+            [[w, h] for (h, w) in spatial_shapes], dtype=query.dtype
+        )  # [L, 2] as (W, H)
+        locations = (
+            reference_points[:, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+        out = ms_deform_attn_core(value, spatial_shapes, locations, attn)
+        return nn.Dense(self.d_model, kernel_init=_XAVIER, name="output_proj")(out)
+
+
+class MSDeformAttnEncoderLayer(nn.Module):
+    d_model: int = 128
+    d_ffn: int = 1024
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes):
+        attn = MSDeformAttn(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn"
+        )(src + pos, reference_points, src, spatial_shapes)
+        src = nn.LayerNorm(name="norm1")(src + attn)
+        y = nn.Dense(self.d_ffn, kernel_init=_XAVIER, name="linear1")(src)
+        y = nn.Dense(self.d_model, kernel_init=_XAVIER, name="linear2")(nn.relu(y))
+        return nn.LayerNorm(name="norm2")(src + y)
+
+
+def encoder_reference_points(spatial_shapes, dtype=jnp.float32) -> jnp.ndarray:
+    """Normalized pixel-center grid per level, replicated across levels
+    (msdeformattn.py:141-153 with valid_ratios == 1)."""
+    refs = []
+    for (H, W) in spatial_shapes:
+        ry = (jnp.arange(H, dtype=dtype) + 0.5) / H
+        rx = (jnp.arange(W, dtype=dtype) + 0.5) / W
+        gy, gx = jnp.meshgrid(ry, rx, indexing="ij")
+        refs.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1))
+    ref = jnp.concatenate(refs, axis=0)                       # [S, 2]
+    L = len(spatial_shapes)
+    return jnp.broadcast_to(ref[:, None, :], (ref.shape[0], L, 2))
+
+
+class MSDeformAttnPixelDecoder(nn.Module):
+    """Pixel decoder; consumes backbone features, emits mask features.
+
+    Returns (mask_features [B,H/4,W/4,conv_dim], encoder res5 map,
+    multi_scale_features [res5', res4', res3']).
+    """
+
+    conv_dim: int = 128
+    mask_dim: int = 16
+    norm: str = "SyncBN"      # FPN lateral/output conv norm (config SEM_SEG_HEAD.NORM)
+    transformer_layers: int = 6
+    n_heads: int = 8
+    n_points: int = 4
+    d_ffn: int = 1024
+    transformer_in_features: Sequence[str] = ("res3", "res4", "res5")
+    fpn_in_features: Sequence[str] = ("res2",)
+    train: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, features: Dict[str, jnp.ndarray]):
+        # top-down order: res5, res4, res3
+        tif = list(self.transformer_in_features)[::-1]
+        srcs = []
+        pos = []
+        spatial_shapes = []
+        for idx, name in enumerate(tif):
+            x = features[name].astype(jnp.float32)  # deformable attn runs fp32
+            B, H, W, _ = x.shape
+            y = nn.Conv(self.conv_dim, (1, 1), kernel_init=_XAVIER, name=f"input_proj{idx}")(x)
+            y = nn.GroupNorm(num_groups=32, name=f"input_gn{idx}")(y)
+            srcs.append(y.reshape(B, H * W, self.conv_dim))
+            pe = position_embedding_sine(H, W, self.conv_dim // 2)
+            pos.append(jnp.broadcast_to(pe.reshape(1, H * W, self.conv_dim), (B, H * W, self.conv_dim)))
+            spatial_shapes.append((H, W))
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (len(tif), self.conv_dim)
+        )
+        src_flat = jnp.concatenate(
+            [s + level_embed[i][None, None, :] for i, s in enumerate(srcs)], axis=1
+        )
+        pos_flat = jnp.concatenate(pos, axis=1)
+        refs = encoder_reference_points(spatial_shapes, src_flat.dtype)
+        refs = jnp.broadcast_to(refs[None], (src_flat.shape[0],) + refs.shape)
+
+        y = src_flat
+        for i in range(self.transformer_layers):
+            y = MSDeformAttnEncoderLayer(
+                self.conv_dim, self.d_ffn, len(tif), self.n_heads, self.n_points,
+                name=f"encoder_layer{i}",
+            )(y, pos_flat, refs, spatial_shapes)
+
+        # split back into maps
+        out = []
+        start = 0
+        for (H, W) in spatial_shapes:
+            B = y.shape[0]
+            out.append(y[:, start : start + H * W].reshape(B, H, W, self.conv_dim))
+            start += H * W
+
+        # FPN fusion for res2 -> stride-4 mask features
+        for idx, name in enumerate(list(self.fpn_in_features)[::-1]):
+            x = features[name].astype(jnp.float32)
+            lateral = ConvNorm(
+                self.conv_dim, (1, 1), norm=self.norm, use_bias=(self.norm == ""),
+                train=self.train, axis_name=self.axis_name, name=f"adapter{idx}",
+            )(x)
+            up = resize_bilinear(
+                jnp.moveaxis(out[-1], -1, 1), x.shape[1:3]
+            )
+            fused = lateral + jnp.moveaxis(up, 1, -1)
+            fused = ConvNorm(
+                self.conv_dim, (3, 3), norm=self.norm, activation=nn.relu,
+                use_bias=(self.norm == ""), train=self.train, axis_name=self.axis_name,
+                name=f"layer{idx}",
+            )(fused)
+            out.append(fused)
+
+        multi_scale_features = out[:3]
+        return out[-1], out[0], multi_scale_features

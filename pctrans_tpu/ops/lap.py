@@ -1,0 +1,141 @@
+"""Rectangular linear assignment, jit-compatible.
+
+The reference runs ``scipy.optimize.linear_sum_assignment`` on the CPU once
+per decoder layer per image inside the training forward pass (reference:
+connectomics/model/loss/matcher.py:154-156 called from
+mask2former_transformer_decoder.py:548,603) — ten device syncs per step and
+the single worst launch-pipeline stall in the reference design.  Here the
+solver is the classic shortest-augmenting-path (Jonker-Volgenant) algorithm
+written with ``lax`` control flow so it runs *inside* jit on device, can be
+vmapped over the batch and over decoder layers, and never leaves the TPU.
+
+``solve_lap(cost)`` takes a [R, C] cost matrix with R <= C and returns, for
+every row, the assigned column, minimizing total cost over all R disjoint
+assignments — the same matching scipy produces (ties may resolve
+differently; any optimum is a valid Hungarian match).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.inf
+
+
+def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
+    """Assign each row of ``cost`` [R, C] (R <= C) a distinct column.
+
+    Returns ``col4row`` int32 [R].  Differentiation is not supported (use
+    ``stop_gradient`` upstream; matching is a discrete decision).
+    """
+    R, C = cost.shape
+    assert R <= C, f"solve_lap requires rows <= cols, got {cost.shape}"
+    cost = cost.astype(jnp.float32)
+
+    def assign_one_row(cur_row, state):
+        u, v, col4row, row4col = state
+
+        # --- Dijkstra over columns from cur_row --------------------------
+        def dij_cond(c):
+            return c["sink"] < 0
+
+        def dij_body(c):
+            i = c["i"]
+            sr = c["SR"].at[i].set(True)
+            reduced = c["minVal"] + cost[i] - u[i] - v
+            upd = (~c["SC"]) & (reduced < c["shortest"])
+            shortest = jnp.where(upd, reduced, c["shortest"])
+            path = jnp.where(upd, i, c["path"])
+            masked = jnp.where(c["SC"], _INF, shortest)
+            j = jnp.argmin(masked)
+            min_val = masked[j]
+            sc = c["SC"].at[j].set(True)
+            unassigned = row4col[j] < 0
+            return dict(
+                c,
+                SR=sr,
+                SC=sc,
+                shortest=shortest,
+                path=path,
+                minVal=min_val,
+                sink=jnp.where(unassigned, j, -1),
+                i=row4col[j],
+            )
+
+        init = dict(
+            SR=jnp.zeros(R, bool),
+            SC=jnp.zeros(C, bool),
+            shortest=jnp.full(C, _INF, jnp.float32),
+            path=jnp.full(C, -1, jnp.int32),
+            minVal=jnp.float32(0.0),
+            sink=jnp.int32(-1),
+            i=cur_row,
+        )
+        fin = jax.lax.while_loop(dij_cond, dij_body, init)
+        min_val, shortest, path, SR, SC, sink = (
+            fin["minVal"], fin["shortest"], fin["path"], fin["SR"], fin["SC"], fin["sink"],
+        )
+
+        # --- dual updates -------------------------------------------------
+        u = u.at[cur_row].add(min_val)
+        others = SR & (jnp.arange(R) != cur_row)
+        # rows in SR other than cur_row are already assigned: col4row[i] >= 0
+        delta_r = min_val - shortest[jnp.clip(col4row, 0, C - 1)]
+        u = u + jnp.where(others, delta_r, 0.0)
+        v = v - jnp.where(SC, min_val - shortest, 0.0)
+
+        # --- augment along the alternating path ---------------------------
+        def aug_cond(c):
+            return ~c["done"]
+
+        def aug_body(c):
+            j = c["j"]
+            i = path[j]
+            r4c = c["row4col"].at[j].set(i)
+            nxt = c["col4row"][i]
+            c4r = c["col4row"].at[i].set(j)
+            return dict(j=nxt, col4row=c4r, row4col=r4c, done=(i == cur_row))
+
+        aug = jax.lax.while_loop(
+            aug_cond,
+            aug_body,
+            dict(j=sink, col4row=col4row, row4col=row4col, done=jnp.bool_(False)),
+        )
+        return u, v, aug["col4row"], aug["row4col"]
+
+    u0 = jnp.zeros(R, jnp.float32)
+    v0 = jnp.zeros(C, jnp.float32)
+    c4r0 = jnp.full(R, -1, jnp.int32)
+    r4c0 = jnp.full(C, -1, jnp.int32)
+    _, _, col4row, _ = jax.lax.fori_loop(0, R, assign_one_row, (u0, v0, c4r0, r4c0))
+    return col4row
+
+
+def linear_sum_assignment(cost: jnp.ndarray):
+    """scipy-compatible wrapper: returns (row_ind, col_ind) minimizing cost.
+
+    For cost [R, C]: if R <= C matches every row, else every column.
+    """
+    R, C = cost.shape
+    if R <= C:
+        rows = jnp.arange(R, dtype=jnp.int32)
+        return rows, solve_lap(cost)
+    cols = jnp.arange(C, dtype=jnp.int32)
+    return solve_lap(cost.T), cols
+
+
+def match_padded(cost: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Hungarian match on a padded [Q, G] query-x-instance cost matrix.
+
+    ``valid`` is a bool [G] mask of real (non-padded) ground-truth slots.
+    Invalid columns are replaced with a constant-zero cost, which cannot
+    change the optimal assignment of the valid columns (their contribution is
+    identical no matter which queries they absorb; Q >= G guarantees enough
+    queries remain).  Returns ``query4gt`` int32 [G]: for each GT slot the
+    matched query index (meaningful only where ``valid``).
+    """
+    Q, G = cost.shape
+    assert Q >= G
+    safe = jnp.where(valid[None, :], cost, 0.0)
+    return solve_lap(safe.T)

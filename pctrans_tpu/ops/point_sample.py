@@ -1,0 +1,105 @@
+"""Bilinear point sampling with torch ``grid_sample`` semantics.
+
+The reference's mask losses and matcher sample mask logits at normalized
+point coordinates through detectron2 PointRend's ``point_sample`` (reference:
+connectomics/model/loss/maskformer_criterion.py:248-275, matcher.py:116-129),
+which is ``F.grid_sample(..., mode='bilinear', padding_mode='zeros',
+align_corners=False)`` on ``grid = 2*coords - 1``.  We reimplement exactly
+those semantics: for an axis of size ``S`` and normalized coordinate ``t`` in
+[0, 1], the continuous pixel position is ``t*S - 0.5``; out-of-bounds corners
+contribute zero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img`` [..., H, W] at continuous pixel coords (x, y) [...].
+
+    ``img`` has shape [B, C, H, W]; ``x``/``y`` have shape [B, P] (pixel
+    coordinates, origin at the center of pixel (0,0)).  Returns [B, C, P].
+    Out-of-bounds contributions are zero (padding_mode='zeros').
+    """
+    B, C, H, W = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    flat = img.reshape(B, C, H * W)
+
+    def corner(xi, yi, w):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)  # [B, P]
+        vals = jnp.take_along_axis(flat, idx[:, None, :], axis=2)  # [B, C, P]
+        return vals * (w * valid)[:, None, :]
+
+    out = (
+        corner(x0i, y0i, (1 - tx) * (1 - ty))
+        + corner(x0i + 1, y0i, tx * (1 - ty))
+        + corner(x0i, y0i + 1, (1 - tx) * ty)
+        + corner(x0i + 1, y0i + 1, tx * ty)
+    )
+    return out
+
+
+def point_sample(inputs: jnp.ndarray, point_coords: jnp.ndarray) -> jnp.ndarray:
+    """PointRend ``point_sample`` with align_corners=False.
+
+    ``inputs``: [B, C, H, W]; ``point_coords``: [B, P, 2] in [0, 1] with the
+    last dim ordered (x, y).  Returns [B, C, P].
+    """
+    H, W = inputs.shape[-2:]
+    x = point_coords[..., 0] * W - 0.5
+    y = point_coords[..., 1] * H - 0.5
+    return grid_sample_bilinear(inputs, x, y)
+
+
+def get_uncertain_point_coords(
+    rng: jax.Array,
+    logits: jnp.ndarray,
+    num_points: int,
+    oversample_ratio: float,
+    importance_sample_ratio: float,
+    uncertainty_fn: Callable[[jnp.ndarray], jnp.ndarray] = lambda l: -jnp.abs(l),
+) -> jnp.ndarray:
+    """PointRend importance sampling of point coordinates.
+
+    Mirrors detectron2's ``get_uncertain_point_coords_with_randomness`` as
+    used by the reference mask loss (maskformer_criterion.py:248-256):
+    oversample uniformly, keep the ``importance_sample_ratio`` most uncertain
+    points, fill the rest with fresh uniform points.
+
+    ``logits``: [N, 1, H, W].  Returns [N, num_points, 2] in [0, 1], (x, y).
+    """
+    assert oversample_ratio >= 1
+    N = logits.shape[0]
+    num_sampled = int(num_points * oversample_ratio)
+    k1, k2 = jax.random.split(rng)
+    coords = jax.random.uniform(k1, (N, num_sampled, 2))
+    point_logits = point_sample(logits, coords)          # [N, 1, num_sampled]
+    uncert = uncertainty_fn(point_logits)[:, 0, :]       # [N, num_sampled]
+
+    num_uncertain = int(importance_sample_ratio * num_points)
+    num_random = num_points - num_uncertain
+    _, idx = jax.lax.top_k(uncert, num_uncertain)        # [N, num_uncertain]
+    picked = jnp.take_along_axis(coords, idx[:, :, None], axis=1)
+    if num_random > 0:
+        rand_coords = jax.random.uniform(k2, (N, num_random, 2))
+        picked = jnp.concatenate([picked, rand_coords], axis=1)
+    return picked
+
+
+@partial(jax.jit, static_argnums=(2,))
+def sample_masks_at_points(masks: jnp.ndarray, coords: jnp.ndarray, squeeze: bool = True):
+    """Convenience wrapper: masks [N, H, W] sampled at coords [N, P, 2] -> [N, P]."""
+    out = point_sample(masks[:, None], coords)
+    return out[:, 0] if squeeze else out

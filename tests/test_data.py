@@ -1,0 +1,81 @@
+"""Tests for data pipelines (synthetic fixture + CVPPP/BBBC plumbing)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pctrans_tpu.data.synthetic import SyntheticDataset, batch_iterator
+from pctrans_tpu.data.cvppp import (
+    normalize_image,
+    random_resized_crop_params,
+    relabel_consecutive,
+)
+from pctrans_tpu.data.bbbc import aug_flip, aug_grayscale, center_crop_2d
+
+
+class TestSynthetic:
+    def test_shapes_and_labels(self):
+        ds = SyntheticDataset(size=(64, 64), length=4)
+        item = ds[0]
+        assert item["image"].shape == (64, 64, 3)
+        assert item["label"].shape == (64, 64)
+        ids = np.unique(item["label"])
+        # consecutive ids starting at 0
+        np.testing.assert_array_equal(ids, np.arange(len(ids)))
+        assert len(ids) >= 2
+
+    def test_deterministic(self):
+        a = SyntheticDataset(size=(32, 32), length=2)[1]
+        b = SyntheticDataset(size=(32, 32), length=2)[1]
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+    def test_batch_iterator(self):
+        ds = SyntheticDataset(size=(32, 32), length=8)
+        it = batch_iterator(ds, 4, np.random.RandomState(0))
+        batch = next(it)
+        assert batch["image"].shape == (4, 32, 32, 3)
+        assert batch["label"].shape == (4, 32, 32)
+
+
+class TestCVPPPTransforms:
+    def test_crop_params_in_bounds(self, rng):
+        for _ in range(50):
+            i, j, h, w = random_resized_crop_params(rng, 530, 500)
+            assert 0 <= i and i + h <= 530
+            assert 0 <= j and j + w <= 500
+            area_frac = (h * w) / (530 * 500)
+            # scale (0.7, 1.0) with rounding slack / aspect fallback
+            assert 0.4 < area_frac <= 1.01
+
+    def test_normalize(self):
+        img = np.full((4, 4, 3), 128, np.uint8)
+        out = normalize_image(img)
+        expected = (128 / 255.0 - np.array([0.485, 0.456, 0.406])) / np.array(
+            [0.229, 0.224, 0.225]
+        )
+        np.testing.assert_allclose(out[0, 0], expected, rtol=1e-5)
+
+    def test_relabel(self):
+        lab = np.array([[0, 7], [7, 12]])
+        out = relabel_consecutive(lab)
+        np.testing.assert_array_equal(out, [[0, 1], [1, 2]])
+
+
+class TestBBBCTransforms:
+    def test_flip_keeps_pairing(self, rng):
+        img = rng.rand(8, 8).astype(np.float32)
+        lab = (img > 0.5).astype(np.int32)
+        for _ in range(10):
+            im2, lb2 = aug_flip(rng, img, lab)
+            np.testing.assert_array_equal((im2 > 0.5).astype(np.int32), lb2)
+
+    def test_grayscale_range(self, rng):
+        img = rng.rand(16, 16).astype(np.float32)
+        out = aug_grayscale(rng, img)
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_center_crop(self):
+        img = np.arange(600 * 700, dtype=np.float32).reshape(600, 700)
+        out = center_crop_2d(img, (512, 512))
+        assert out.shape == (512, 512)

@@ -1,0 +1,133 @@
+"""Shape and sanity tests for the model stack."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pctrans_tpu.models import PCTransModel, ModelConfig
+from pctrans_tpu.models.resnet import ResNet
+from pctrans_tpu.models.layers import position_embedding_sine, gen_sineembed_for_position
+from pctrans_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+
+TINY = ModelConfig(
+    hidden_dim=32, conv_dim=32, mask_dim=8, num_queries=10, nheads=4,
+    dim_feedforward=64, enc_layers=1, dec_layers=3, head_norm="GN",
+)
+
+
+class TestResNet:
+    def test_feature_strides(self):
+        model = ResNet(norm="FrozenBN", train=False)
+        x = jnp.zeros((1, 64, 64, 3))
+        vars_ = jax.jit(model.init)(jax.random.key(0), x)
+        out = jax.jit(model.apply)(vars_, x)
+        assert out["res2"].shape == (1, 16, 16, 256)
+        assert out["res3"].shape == (1, 8, 8, 512)
+        assert out["res4"].shape == (1, 4, 4, 1024)
+        assert out["res5"].shape == (1, 2, 2, 2048)
+
+    def test_odd_input_sizes_match_torch_conv_arithmetic(self):
+        # torch floor arithmetic: 530 -> 265 -> 133 (pool) -> res3 67 -> 34 -> 17
+        model = ResNet(norm="FrozenBN", train=False)
+        x = jnp.zeros((1, 530, 500, 3))
+        vars_ = jax.eval_shape(model.init, jax.random.key(0), x)
+        out = jax.eval_shape(model.apply, vars_, x)
+        assert out["res2"].shape[1:3] == (133, 125)
+        assert out["res3"].shape[1:3] == (67, 63)
+        assert out["res4"].shape[1:3] == (34, 32)
+        assert out["res5"].shape[1:3] == (17, 16)
+
+    def test_torch_stage_sizes(self):
+        model = ResNet(norm="FrozenBN", train=False)
+        x = jnp.zeros((1, 106, 100, 3))
+        vars_ = jax.eval_shape(model.init, jax.random.key(0), x)
+        out = jax.eval_shape(model.apply, vars_, x)
+        # torch: conv7/2: floor((106+6-7)/2)+1=53; pool3/2: floor((53+2-3)/2)+1=27
+        assert out["res2"].shape[1:3] == (27, 25)
+        assert out["res5"].shape[1:3] == (4, 4)
+
+
+class TestPositionEmbedding:
+    def test_matches_reference_formula(self):
+        # independent recomputation of the DETR sine embedding
+        h, w, npf = 5, 7, 16
+        pe = np.asarray(position_embedding_sine(h, w, npf))
+        assert pe.shape == (h, w, 2 * npf)
+        import math
+        scale = 2 * math.pi
+        y = (np.arange(1, h + 1)[:, None] / (h + 1e-6) * scale)
+        dim_t = 10000 ** (2 * (np.arange(npf) // 2) / npf)
+        py = y[:, :, None] / dim_t if False else (np.broadcast_to(y[:, :, None], (h, 1, npf)) / dim_t)
+        # spot check one position/frequency
+        assert pe[2, 3, 0] == pytest.approx(np.sin((3 / (h + 1e-6)) * scale / dim_t[0]), abs=1e-5)
+        assert pe[2, 3, 2 * npf - 1] == pytest.approx(
+            np.cos((4 / (w + 1e-6)) * scale / dim_t[npf - 1]), abs=1e-5
+        )
+
+    def test_sineembed_for_position_shape(self):
+        pos = jnp.array([[[0.3, 0.7]]])
+        emb = gen_sineembed_for_position(pos)
+        assert emb.shape == (1, 1, 256)
+        # first half is y-embedding, second half x
+        import math
+        dim_t0 = 20 ** (0.0)
+        assert float(emb[0, 0, 0]) == pytest.approx(math.sin(0.7 * 2 * math.pi / dim_t0), abs=1e-5)
+        assert float(emb[0, 0, 128]) == pytest.approx(math.sin(0.3 * 2 * math.pi / dim_t0), abs=1e-5)
+
+
+class TestPixelDecoder:
+    def test_output_shapes(self):
+        dec = MSDeformAttnPixelDecoder(conv_dim=32, mask_dim=8, norm="GN",
+                                       transformer_layers=1, train=False)
+        feats = {
+            "res2": jnp.zeros((2, 32, 32, 64)),
+            "res3": jnp.zeros((2, 16, 16, 128)),
+            "res4": jnp.zeros((2, 8, 8, 256)),
+            "res5": jnp.zeros((2, 4, 4, 512)),
+        }
+        vars_ = jax.jit(dec.init)(jax.random.key(0), feats)
+        mask_features, enc_top, ms = jax.jit(dec.apply)(vars_, feats)
+        assert mask_features.shape == (2, 32, 32, 32)     # stride 4
+        assert enc_top.shape == (2, 4, 4, 32)             # res5'
+        assert [m.shape[1] for m in ms] == [4, 8, 16]     # res5', res4', res3'
+
+
+class TestFullModel:
+    def test_forward_shapes(self):
+        model = PCTransModel(config=TINY, train=False)
+        x = jnp.zeros((1, 64, 64, 3))
+        vars_ = jax.jit(model.init)(jax.random.key(0), x)
+        out = jax.jit(model.apply)(vars_, x)
+        Q = TINY.num_queries
+        assert out["pred_masks"].shape == (1, Q, 32, 32)          # stride 2
+        assert len(out["aux_masks"]) == TINY.dec_layers
+        assert out["reference_points"].shape == (1, Q, 2)
+        assert len(out["aux_reference_points"]) == TINY.dec_layers - 1
+        assert out["query_emb"].shape == (1, Q, TINY.hidden_dim)
+        assert out["sem_mask"].shape == (1, 16, 16, 1)
+        assert out["mask_features"].shape == (1, 16, 16, TINY.conv_dim)
+        # reference points are valid probabilities
+        rp = np.asarray(out["reference_points"])
+        assert (rp >= 0).all() and (rp <= 1).all()
+
+    def test_forward_finite_with_random_input(self):
+        model = PCTransModel(config=TINY, train=False)
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3))
+        vars_ = jax.jit(model.init)(jax.random.key(0), x)
+        out = jax.jit(model.apply)(vars_, x)
+        assert np.isfinite(np.asarray(out["pred_masks"])).all()
+        assert np.isfinite(np.asarray(out["query_emb"])).all()
+
+    def test_batchnorm_collection_updates(self):
+        cfg = ModelConfig(
+            hidden_dim=32, conv_dim=32, mask_dim=8, num_queries=10, nheads=4,
+            dim_feedforward=64, enc_layers=1, dec_layers=3, head_norm="SyncBN",
+        )
+        model = PCTransModel(config=cfg, train=True)
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3))
+        vars_ = jax.jit(model.init)(jax.random.key(0), x)
+        assert "batch_stats" in vars_
+        out, updates = jax.jit(lambda v, x: model.apply(v, x, mutable=["batch_stats"]))(vars_, x)
+        assert "batch_stats" in updates

@@ -1,0 +1,218 @@
+"""Kernel-level tests, in the spirit of the reference's ops/test.py harness:
+dual implementation (JAX op vs torch public-API oracle), tolerance ladder,
+and gradient checks.
+"""
+
+import numpy as np
+import pytest
+import scipy.optimize
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from pctrans_tpu.ops import (
+    grid_sample_bilinear,
+    point_sample,
+    linear_sum_assignment,
+    ms_deform_attn_core,
+    resize_bilinear,
+    resize_nearest_torch,
+)
+from pctrans_tpu.ops.lap import match_padded, solve_lap
+
+
+# ------------------------------------------------------------- point sample
+class TestPointSample:
+    def test_matches_torch_grid_sample(self, rng):
+        B, C, H, W = 2, 3, 13, 17
+        P = 50
+        img = rng.randn(B, C, H, W).astype(np.float32)
+        coords = rng.rand(B, P, 2).astype(np.float32)  # in [0,1], (x, y)
+
+        ours = point_sample(jnp.array(img), jnp.array(coords))
+
+        grid = torch.from_numpy(2 * coords - 1).unsqueeze(2)  # [B, P, 1, 2]
+        ref = F.grid_sample(
+            torch.from_numpy(img), grid, mode="bilinear",
+            padding_mode="zeros", align_corners=False,
+        ).squeeze(3)
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-5, atol=1e-5)
+
+    def test_out_of_bounds_points(self, rng):
+        img = rng.randn(1, 1, 8, 8).astype(np.float32)
+        coords = np.array([[[-0.5, -0.5], [1.5, 1.5], [0.5, 0.5]]], np.float32)
+        ours = np.asarray(point_sample(jnp.array(img), jnp.array(coords)))
+        grid = torch.from_numpy(2 * coords - 1).unsqueeze(2)
+        ref = F.grid_sample(torch.from_numpy(img), grid, mode="bilinear",
+                            padding_mode="zeros", align_corners=False).squeeze(3)
+        np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)
+
+    def test_gradients_flow(self, rng):
+        img = jnp.array(rng.randn(1, 1, 8, 8).astype(np.float32))
+        coords = jnp.array(rng.rand(1, 5, 2).astype(np.float32))
+        g = jax.grad(lambda im: point_sample(im, coords).sum())(img)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).sum() > 0
+
+
+# ------------------------------------------------------------------ resize
+class TestResize:
+    def test_bilinear_matches_torch(self, rng):
+        x = rng.randn(2, 4, 14, 10).astype(np.float32)
+        for size in [(28, 20), (7, 5), (30, 17)]:
+            ours = np.asarray(resize_bilinear(jnp.array(x), size))
+            ref = F.interpolate(torch.from_numpy(x), size=size, mode="bilinear",
+                                align_corners=False).numpy()
+            np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_nearest_matches_torch(self, rng):
+        x = rng.randn(1, 2, 9, 11).astype(np.float32)
+        for size in [(18, 22), (5, 6), (4, 4)]:
+            ours = np.asarray(resize_nearest_torch(jnp.array(x), size))
+            ref = F.interpolate(torch.from_numpy(x), size=size, mode="nearest").numpy()
+            np.testing.assert_array_equal(ours, ref)
+
+
+# --------------------------------------------------------------------- LAP
+class TestLAP:
+    def test_matches_scipy_total_cost(self, rng):
+        for trial in range(20):
+            R = rng.randint(1, 12)
+            C = rng.randint(R, 20)
+            cost = rng.randn(R, C).astype(np.float32) * 10
+            rows, cols = linear_sum_assignment(jnp.array(cost))
+            srows, scols = scipy.optimize.linear_sum_assignment(cost)
+            ours = cost[np.asarray(rows), np.asarray(cols)].sum()
+            ref = cost[srows, scols].sum()
+            assert ours == pytest.approx(ref, abs=1e-3), f"trial {trial}"
+            # assignment must be a valid matching
+            assert len(set(np.asarray(cols).tolist())) == R
+
+    def test_transposed_shape(self, rng):
+        cost = rng.randn(10, 4).astype(np.float32)  # queries x gt, like the matcher
+        rows, cols = linear_sum_assignment(jnp.array(cost))
+        srows, scols = scipy.optimize.linear_sum_assignment(cost)
+        assert cost[np.asarray(rows), np.asarray(cols)].sum() == pytest.approx(
+            cost[srows, scols].sum(), abs=1e-3
+        )
+
+    def test_match_padded_ignores_invalid(self, rng):
+        Q, G = 12, 6
+        cost = rng.randn(Q, G).astype(np.float32)
+        valid = np.array([True, True, True, False, False, False])
+        q4g = np.asarray(match_padded(jnp.array(cost), jnp.array(valid)))
+        # compare against scipy on the valid sub-problem
+        sub = cost[:, :3]
+        srows, scols = scipy.optimize.linear_sum_assignment(sub.T)
+        ref_total = sub.T[srows, scols].sum()
+        ours_total = sum(cost[q4g[g], g] for g in range(3))
+        assert ours_total == pytest.approx(ref_total, abs=1e-3)
+        # all assigned queries distinct (including padding slots)
+        assert len(set(q4g.tolist())) == G
+
+    def test_jit_and_vmap(self, rng):
+        costs = rng.randn(4, 5, 9).astype(np.float32)  # batch of [5, 9]
+        f = jax.jit(jax.vmap(solve_lap))
+        out = np.asarray(f(jnp.array(costs)))
+        for b in range(4):
+            srows, scols = scipy.optimize.linear_sum_assignment(costs[b])
+            assert costs[b][np.arange(5), out[b]].sum() == pytest.approx(
+                costs[b][srows, scols].sum(), abs=1e-3
+            )
+
+
+# ------------------------------------------------------------- ms-deform-attn
+def msda_torch_oracle(value, spatial_shapes, sampling_locations, attention_weights):
+    """Independent torch oracle: per level grid_sample + softmax-weighted sum."""
+    value = torch.from_numpy(value)
+    locs = torch.from_numpy(sampling_locations)
+    attn = torch.from_numpy(attention_weights)
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = locs.shape
+    out = torch.zeros(B, Lq, M, D, dtype=value.dtype)
+    start = 0
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = value[:, start : start + H * W]                      # [B, HW, M, D]
+        v = v.permute(0, 2, 3, 1).reshape(B * M, D, H, W)
+        g = 2 * locs[:, :, :, lid] - 1                           # [B, Lq, M, P, 2]
+        g = g.permute(0, 2, 1, 3, 4).reshape(B * M, Lq, P, 2)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)                   # [B*M, D, Lq, P]
+        s = s.reshape(B, M, D, Lq, P).permute(0, 3, 1, 4, 2)     # [B, Lq, M, P, D]
+        out += (s * attn[:, :, :, lid, :, None]).sum(dim=3)
+        start += H * W
+    return out.reshape(B, Lq, M * D).numpy()
+
+
+class TestMSDeformAttn:
+    def _random_inputs(self, rng, B=2, M=4, D=8, Lq=7, P=3):
+        shapes = [(6, 8), (3, 4), (2, 2)]
+        S = sum(h * w for h, w in shapes)
+        L = len(shapes)
+        value = rng.randn(B, S, M, D).astype(np.float32)
+        locs = rng.rand(B, Lq, M, L, P, 2).astype(np.float32) * 1.2 - 0.1
+        attn = rng.rand(B, Lq, M, L, P).astype(np.float32)
+        attn = attn / attn.sum(axis=(3, 4), keepdims=True)
+        return value, shapes, locs, attn
+
+    def test_matches_torch_oracle(self, rng):
+        value, shapes, locs, attn = self._random_inputs(rng)
+        ours = np.asarray(ms_deform_attn_core(jnp.array(value), shapes,
+                                              jnp.array(locs), jnp.array(attn)))
+        ref = msda_torch_oracle(value, shapes, locs, attn)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_float64_exact(self, rng):
+        value, shapes, locs, attn = self._random_inputs(rng, B=1, M=2, D=4, Lq=3, P=2)
+        with jax.enable_x64(True):
+            ours = np.asarray(
+                ms_deform_attn_core(
+                    jnp.array(value, jnp.float64), shapes,
+                    jnp.array(locs, jnp.float64), jnp.array(attn, jnp.float64),
+                )
+            )
+        ref = msda_torch_oracle(
+            value.astype(np.float64), shapes,
+            locs.astype(np.float64), attn.astype(np.float64),
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-12)
+
+    def test_gradcheck_vs_torch(self, rng):
+        """Gradients wrt value, locations and weights match torch autograd."""
+        value, shapes, locs, attn = self._random_inputs(rng, B=1, M=2, D=4, Lq=3, P=2)
+
+        def loss_jax(v, l, a):
+            return (ms_deform_attn_core(v, shapes, l, a) ** 2).sum()
+
+        gv, gl, ga = jax.grad(loss_jax, argnums=(0, 1, 2))(
+            jnp.array(value), jnp.array(locs), jnp.array(attn)
+        )
+
+        tv = torch.from_numpy(value).requires_grad_(True)
+        tl = torch.from_numpy(locs).requires_grad_(True)
+        ta = torch.from_numpy(attn).requires_grad_(True)
+        out = msda_torch_differentiable(tv, shapes, tl, ta)
+        (out**2).sum().backward()
+        np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def msda_torch_differentiable(value, spatial_shapes, locs, attn):
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = locs.shape
+    out = torch.zeros(B, Lq, M, D, dtype=value.dtype)
+    start = 0
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = value[:, start : start + H * W]
+        v = v.permute(0, 2, 3, 1).reshape(B * M, D, H, W)
+        g = 2 * locs[:, :, :, lid] - 1
+        g = g.permute(0, 2, 1, 3, 4).reshape(B * M, Lq, P, 2)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)
+        s = s.reshape(B, M, D, Lq, P).permute(0, 3, 1, 4, 2)
+        out = out + (s * attn[:, :, :, lid, :, None]).sum(dim=3)
+        start += H * W
+    return out.reshape(B, Lq, M * D)
