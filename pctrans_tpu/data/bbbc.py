@@ -133,7 +133,7 @@ class BBBC:
         ).astype(np.int32)
         return img, label
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
         img, label = self._load_pair(idx)
         if self.mode == "test":
             return {
@@ -148,7 +148,8 @@ class BBBC:
                 "label": label,
             }
 
-        rng = self._rng
+        if rng is None:  # loader passes a per-(epoch, index) stream; see build.py
+            rng = self._rng
         pad = self.padding
         img = np.pad(img, ((pad, pad), (pad, pad)), mode="reflect")
         label = np.pad(label, ((pad, pad), (pad, pad)), mode="reflect")

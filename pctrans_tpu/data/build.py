@@ -11,6 +11,7 @@ to jax as stacked numpy arrays.
 
 from __future__ import annotations
 
+import inspect
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -52,53 +53,131 @@ def batch_size_for(cfg, mode: str, n_devices: int = 1) -> int:
 
 class PrefetchLoader:
     """Iterates batches forever (train) or one epoch (eval), decoding in a
-    thread pool ``prefetch`` batches ahead."""
+    thread pool ``prefetch`` batches ahead.
+
+    Structure (the round-1 version deadlocked by submitting batch tasks that
+    themselves blocked on item tasks scheduled on the *same* executor): a
+    single dedicated **producer thread** assembles batches; only leaf item
+    loads run on the ThreadPoolExecutor, so the pool can never be saturated
+    by tasks waiting on other pool tasks.  Finished batches flow through a
+    bounded queue (the prefetch depth).
+
+    Reproducibility: every item gets its own ``np.random.RandomState`` seeded
+    by (seed, epoch, index), so augmentations are deterministic regardless of
+    thread scheduling — unlike the reference's torch DataLoader workers whose
+    aug streams depend on worker assignment.  Datasets opt in by accepting an
+    ``rng`` keyword in ``__getitem__``.
+
+    Eval loaders use ``drop_last=False, pad_last=True``: the final ragged
+    batch is padded to full ``batch_size`` by repeating the last item and the
+    batch carries ``_num_valid`` so jitted eval never sees a new batch shape
+    (a ragged batch would force an XLA recompile).
+    """
+
+    _SENTINEL = object()
 
     def __init__(self, dataset, batch_size: int, shuffle: bool, seed: int = 0,
                  num_workers: int = 4, prefetch: int = 2, drop_last: bool = True,
-                 loop: bool = True):
+                 loop: bool = True, pad_last: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.loop = loop
         self.drop_last = drop_last
-        self.rng = np.random.RandomState(seed)
+        self.pad_last = pad_last
+        self.seed = seed
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
-        self.prefetch = prefetch
+        self.prefetch = max(int(prefetch), 1)
+        try:
+            sig = inspect.signature(dataset.__getitem__)
+            self._rng_aware = "rng" in sig.parameters
+        except (TypeError, ValueError):
+            self._rng_aware = False
 
-    def _epoch_indices(self):
+    def _epoch_indices(self, epoch: int):
         n = len(self.dataset)
-        idx = self.rng.permutation(n) if self.shuffle else np.arange(n)
+        rng = np.random.RandomState((self.seed + 7919 * epoch) % (2**32))
+        idx = rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
         stop = n - bs + 1 if self.drop_last else n
         for s in range(0, stop, bs):
             yield idx[s : s + bs]
 
-    def _make_batch(self, indices) -> Dict[str, np.ndarray]:
-        items = list(self.pool.map(self.dataset.__getitem__, [int(i) for i in indices]))
-        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+    def _get_item(self, epoch: int, idx: int):
+        if self._rng_aware:
+            item_rng = np.random.RandomState(
+                (self.seed * 1000003 + epoch * 8191 + idx) % (2**32))
+            return self.dataset.__getitem__(idx, rng=item_rng)
+        return self.dataset[idx]
+
+    def _make_batch(self, epoch: int, indices) -> Dict[str, np.ndarray]:
+        futures = [self.pool.submit(self._get_item, epoch, int(i)) for i in indices]
+        items = [f.result() for f in futures]
+        n_valid = len(items)
+        if self.pad_last and n_valid < self.batch_size:
+            items = items + [items[-1]] * (self.batch_size - n_valid)
+        batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        batch["_num_valid"] = np.int32(n_valid)
+        return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        pending = []
-        while True:
-            for indices in self._epoch_indices():
-                pending.append(self.pool.submit(self._make_batch, indices))
-                while len(pending) > self.prefetch:
-                    yield pending.pop(0).result()
-            if not self.loop:
-                break
-        for f in pending:
-            yield f.result()
+        out: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                epoch = 0
+                while not stop.is_set():
+                    for indices in self._epoch_indices(epoch):
+                        batch = self._make_batch(epoch, indices)
+                        while not stop.is_set():
+                            try:
+                                out.put(batch, timeout=0.2)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+                    if not self.loop:
+                        return
+                    epoch += 1
+            finally:
+                while True:  # always deliver the sentinel, even if full
+                    try:
+                        out.put(self._SENTINEL, timeout=0.2)
+                        return
+                    except queue.Full:
+                        if stop.is_set():
+                            return
+
+        thread = threading.Thread(target=produce, daemon=True, name="prefetch-producer")
+        thread.start()
+        try:
+            while True:
+                batch = out.get()
+                if batch is self._SENTINEL:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer's pending put() unblocks
+            try:
+                while True:
+                    out.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def build_dataloader(cfg, mode: str, seed: int = 0, n_devices: int = 1) -> PrefetchLoader:
     ds = get_dataset(cfg, mode)
+    train = mode == "train"
     return PrefetchLoader(
         ds,
         batch_size=batch_size_for(cfg, mode, n_devices),
-        shuffle=(mode == "train"),
+        shuffle=train,
         seed=seed,
         num_workers=max(2, cfg.SYSTEM.NUM_CPUS // 2),
-        loop=(mode == "train"),
-        drop_last=(mode == "train"),
+        loop=train,
+        drop_last=train,
+        pad_last=not train,
     )

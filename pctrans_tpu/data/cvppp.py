@@ -127,7 +127,7 @@ class CVPPP:
             img = img.convert("RGB")
         return np.asarray(img)
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def __getitem__(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Dict[str, np.ndarray]:
         plant = self.plants[idx]
         rgb = self._load(plant, "rgb")
         if self.mode == "test":
@@ -144,7 +144,8 @@ class CVPPP:
             }
 
         # train: paired flips + RandomResizedCrop + normalize
-        rng = self._rng
+        if rng is None:  # loader passes a per-(epoch, index) stream; see build.py
+            rng = self._rng
         if rng.rand() < 0.5:
             rgb = rgb[:, ::-1]
             label = label[:, ::-1]

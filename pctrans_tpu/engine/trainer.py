@@ -156,7 +156,7 @@ class Trainer:
         sbd_all, diff_all, n = 0.0, 0.0, 0
         for batch in loader:
             probs = self.predict_probs(batch["image"])
-            for b in range(probs.shape[0]):
+            for b in range(int(batch.get("_num_valid", probs.shape[0]))):
                 seg = instance_inference_cvppp(probs[b]).astype(np.uint16)
                 if "fg" in batch:
                     seg = seg * (batch["fg"][b] > 0).astype(np.uint16)
@@ -173,7 +173,7 @@ class Trainer:
         aji, dice, f1, pq = [], [], [], []
         for batch in loader:
             probs = self.predict_probs(batch["image"])
-            for b in range(probs.shape[0]):
+            for b in range(int(batch.get("_num_valid", probs.shape[0]))):
                 seg = instance_inference_bbbc(probs[b])
                 gt = mb.remap_label(batch["label"][b], by_size=False)
                 pred = mb.remap_label(seg, by_size=False)

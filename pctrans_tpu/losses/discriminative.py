@@ -44,8 +44,11 @@ def discriminative_loss(
         mu = (onehot @ e) / safe_cnt[:, None]           # [G, C]
 
         # var (pull): mean over each instance's pixels of (||e - mu|| - dv)^2
+        # NB: eps-guarded sqrt, NOT jnp.linalg.norm — a single-pixel instance
+        # has e == mu exactly and d/dx ||x|| at 0 is NaN, which poisons every
+        # gradient (round-1 failure: all params NaN after one step).
         mu_pix = mu[jnp.clip(s - 1, 0, G - 1)]          # [hw, C]
-        d = jnp.linalg.norm(e - mu_pix, axis=1)
+        d = jnp.sqrt(jnp.maximum(((e - mu_pix) ** 2).sum(axis=1), 1e-12))
         per_pix = (d - delta_v) ** 2
         per_inst = (onehot @ per_pix) / safe_cnt
         var_loss = jnp.where(num_id > 0, (per_inst * present).sum() / jnp.maximum(num_id, 1.0), 0.0)
@@ -59,8 +62,10 @@ def discriminative_loss(
         denom = num_id * (num_id - 1.0)
         dist_loss = jnp.where(num_id > 1, hinge.sum() / jnp.maximum(denom, 1.0) / 2.0, 0.0)
 
-        # reg: mean centroid norm over present instances
-        norms = jnp.linalg.norm(mu, axis=1) * present
+        # reg: mean centroid norm over present instances (eps-guarded: absent
+        # slots have mu == 0 and the norm gradient at 0 is NaN; NaN * 0 stays
+        # NaN in the backward pass)
+        norms = jnp.sqrt(jnp.maximum((mu**2).sum(axis=1), 1e-12)) * present
         reg_loss = jnp.where(num_id > 0, norms.sum() / jnp.maximum(num_id, 1.0), 0.0)
         return var_loss, dist_loss, reg_loss
 

@@ -31,14 +31,20 @@ def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
     """
     R, C = cost.shape
     assert R <= C, f"solve_lap requires rows <= cols, got {cost.shape}"
-    cost = cost.astype(jnp.float32)
+    # Sanitize: NaN costs would otherwise break Dijkstra's comparisons and the
+    # termination argument below; a bounded, deterministic wrong answer on a
+    # poisoned input beats an unbounded loop (the train step would hang the
+    # whole program; round-1 CI "hang" was exactly this on NaN gradients).
+    cost = jnp.nan_to_num(cost.astype(jnp.float32), nan=0.0, posinf=1e30, neginf=-1e30)
 
     def assign_one_row(cur_row, state):
         u, v, col4row, row4col = state
 
         # --- Dijkstra over columns from cur_row --------------------------
+        # Each iteration marks one more column SC=True, so <= C iterations
+        # suffice; the explicit bound makes non-termination impossible.
         def dij_cond(c):
-            return c["sink"] < 0
+            return (c["sink"] < 0) & (c["it"] < C + 1)
 
         def dij_body(c):
             i = c["i"]
@@ -61,6 +67,7 @@ def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
                 minVal=min_val,
                 sink=jnp.where(unassigned, j, -1),
                 i=row4col[j],
+                it=c["it"] + 1,
             )
 
         init = dict(
@@ -71,6 +78,7 @@ def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
             minVal=jnp.float32(0.0),
             sink=jnp.int32(-1),
             i=cur_row,
+            it=jnp.int32(0),
         )
         fin = jax.lax.while_loop(dij_cond, dij_body, init)
         min_val, shortest, path, SR, SC, sink = (
@@ -86,8 +94,11 @@ def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
         v = v - jnp.where(SC, min_val - shortest, 0.0)
 
         # --- augment along the alternating path ---------------------------
+        # The alternating path alternates between distinct rows, so <= R + 1
+        # iterations; the bound plus the sink >= 0 guard keep this loop finite
+        # even if Dijkstra was cut short on a degenerate cost matrix.
         def aug_cond(c):
-            return ~c["done"]
+            return (~c["done"]) & (c["it"] < R + 1)
 
         def aug_body(c):
             j = c["j"]
@@ -95,12 +106,14 @@ def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
             r4c = c["row4col"].at[j].set(i)
             nxt = c["col4row"][i]
             c4r = c["col4row"].at[i].set(j)
-            return dict(j=nxt, col4row=c4r, row4col=r4c, done=(i == cur_row))
+            return dict(j=nxt, col4row=c4r, row4col=r4c,
+                        done=(i == cur_row) | (i < 0), it=c["it"] + 1)
 
         aug = jax.lax.while_loop(
             aug_cond,
             aug_body,
-            dict(j=sink, col4row=col4row, row4col=row4col, done=jnp.bool_(False)),
+            dict(j=sink, col4row=col4row, row4col=row4col,
+                 done=(sink < 0), it=jnp.int32(0)),
         )
         return u, v, aug["col4row"], aug["row4col"]
 
