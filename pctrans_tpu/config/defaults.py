@@ -188,6 +188,11 @@ def get_cfg_defaults() -> CfgNode:
     c.INFERENCE.STRIDE = [0, 80, 80]
     c.INFERENCE.SAMPLES_PER_BATCH = 4
     c.INFERENCE.DO_EVAL = True
+    # New key (TPU rebuild): upsample only the TOP_K highest-peak query masks
+    # to full resolution in the jitted eval step; <= 0 upsamples all queries.
+    # Exact whenever <= TOP_K queries clear the postprocess threshold (the
+    # trainer checks and warns otherwise).
+    c.INFERENCE.TOP_K = 50
 
     # -------------------------------------------------------------------- TEST
     c.TEST = CfgNode()

@@ -24,9 +24,12 @@ _FLIPS_4 = [(False, False), (False, True), (True, False), (True, True)]
 class TestAugmentor:
     def __init__(self, mode: str = "mean", num_aug: int = 4):
         assert mode in ("mean", "min", "max")
-        assert num_aug in (2, 4, 8)
+        assert num_aug in (2, 4, 8, 16)
         self.mode = mode
-        self.num_aug = num_aug
+        # 16 variants add the z-flip and exist only for volumes (reference
+        # test_augmentor.py: "applied to 2D outputs without the z-flip") —
+        # in 2D only 8 spatial variants are distinct.
+        self.num_aug = min(num_aug, 8)
 
     @classmethod
     def build_from_cfg(cls, cfg, activation: bool = False):

@@ -94,21 +94,39 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model_config: ModelConfig) -> Callable:
-    """Returns eval_step(state, images) -> sigmoid mask probabilities
-    upsampled to input resolution [B, Q, H, W] (arch/maskformer.py:210-219)."""
+def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None) -> Callable:
+    """Returns eval_step(state, images) following the reference protocol
+    (arch/maskformer.py:210-219): mask logits upsampled to input resolution,
+    then sigmoid.
+
+    With ``top_k`` set, only the K queries with the highest peak logit are
+    upsampled — the expensive step: the full upsample writes
+    B*Q*H*W floats (~1 GB/batch at CVPPP eval shapes) of which the 0.69
+    threshold keeps a handful.  The filter is *exact* for any run where at
+    most K queries clear the postprocess threshold: bilinear upsampling is a
+    convex combination, so a query's upsampled peak never exceeds its
+    half-res peak, and queries are kept in score order.  Returns
+    (probs [B, K, H, W], peak_logits [B, K]) — callers can verify K was
+    large enough by checking peak_logits[:, -1] against the threshold logit.
+    Without ``top_k``: probs [B, Q, H, W] (exact reference semantics).
+    """
     model = PCTransModel(config=model_config, train=False)
+    from ..ops.resize import resize_bilinear
 
     def eval_step(state: TrainState, images: jnp.ndarray):
         variables = {"params": state.params, "frozen": state.frozen}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         out = model.apply(variables, images)
-        masks = out["pred_masks"]  # [B, Q, H/2, W/2]
+        masks = out["pred_masks"]  # [B, Q, H/2, W/2] f32
         H, W = images.shape[1:3]
-        from ..ops.resize import resize_bilinear
-
+        if top_k is not None and top_k < masks.shape[1]:
+            peak = masks.max(axis=(2, 3))                      # [B, Q]
+            top_peak, idx = jax.lax.top_k(peak, top_k)         # [B, K]
+            masks = jnp.take_along_axis(masks, idx[:, :, None, None], axis=1)
+            masks = resize_bilinear(masks, (H, W))
+            return jax.nn.sigmoid(masks), top_peak
         masks = resize_bilinear(masks, (H, W))
-        return jax.nn.sigmoid(masks)
+        return jax.nn.sigmoid(masks), masks.max(axis=(2, 3))
 
     return eval_step

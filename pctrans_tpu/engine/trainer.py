@@ -5,11 +5,20 @@ rebuilt around one jitted train step on a device mesh:
 
 * ``train()`` — the per-iteration loop: prefetching host loader -> sharded
   device batch -> jitted step (targets, forward, matching, losses, update
-  all on device) -> monitor -> periodic orbax checkpoints.
+  all on device) -> per-loss monitor scalars -> periodic orbax checkpoints,
+  in-training ``validate()`` with best-checkpoint tracking
+  (trainer.py:321-396,388-390) and optional SWA parameter averaging
+  (trainer.py:666-693).
 * ``validate()`` / ``eval_cvppp()`` — batched inference + host postprocess
   + SBD / |DiC| (trainer.py:398-450), results appended to ``logging.txt``.
 * ``test_bbbc()`` — AJI / pixel-F1 / detection-F1 / PQ over the test set
   (trainer.py:497-573).
+* ``test_cvppp()`` — official CVPPP test set -> merge_func cleanup ->
+  CodaLab ``submission.h5`` (A1/<plant>/label layout, trainer.py:452-495;
+  the reference copies a hardcoded personal example file — here the h5 is
+  created from scratch).
+* TTA (reference builds it in test mode, trainer.py:78-81) is wired behind
+  ``INFERENCE.AUG_MODE``.
 
 No ``torch.cuda.empty_cache()``-style rituals: XLA owns device memory, and
 there are no per-step host syncs to paper over.
@@ -87,14 +96,22 @@ class Trainer:
         self.start_iter = int(cfg.MODEL.PRE_MODEL_ITER)
 
         if checkpoint:
-            self.state = ckpt.restore_checkpoint(checkpoint, self.state)
+            try:
+                self.state = ckpt.restore_checkpoint(checkpoint, self.state)
+            except Exception as e:  # structure/shape mismatch -> finetune load
+                print(f"[checkpoint] strict restore failed ({type(e).__name__}); "
+                      "falling back to key-filtered partial load")
+                self.state = ckpt.restore_partial(checkpoint, self.state)
             if not cfg.SOLVER.ITERATION_RESTART:
                 self.start_iter = int(self.state.step)
 
         self._train_step = jax.jit(
             make_train_step(self.model_config, self.criterion, self.tx, self.max_instances)
         )
-        self._eval_step = jax.jit(make_eval_step(self.model_config))
+        top_k = int(cfg.INFERENCE.get("TOP_K", 0) or 0)
+        self._eval_step = jax.jit(
+            make_eval_step(self.model_config, top_k=top_k if top_k > 0 else None)
+        )
 
         if mode == "train":
             self.monitor = build_monitor(cfg)
@@ -104,6 +121,21 @@ class Trainer:
                 build_dataloader(cfg, "train", n_devices=self.mesh.devices.size)
             )
         self.total_iters = cfg.SOLVER.ITERATION_TOTAL
+        self.best_val = float("-inf")
+
+        # SWA (reference solver/build.py:315-328, trainer.py:666-693)
+        self.swa = None
+        if mode == "train" and cfg.SOLVER.SWA.ENABLED:
+            from ..engine.swa import SWAState
+
+            self.swa = SWAState()
+
+        # TTA (reference builds it in test mode, trainer.py:78-81)
+        self.tta = None
+        if mode == "test" and cfg.INFERENCE.AUG_MODE not in (None, "None", ""):
+            from ..data.tta import TestAugmentor
+
+            self.tta = TestAugmentor.build_from_cfg(cfg)
 
     # ------------------------------------------------------------------
     def _load_backbone_weights(self, state: TrainState, path: str) -> TrainState:
@@ -125,6 +157,7 @@ class Trainer:
     def train(self):
         cfg = self.cfg
         t0 = time.perf_counter()
+        val_every = int(cfg.SOLVER.get("ITERATION_VAL", 0) or 0)
         for it in range(self.start_iter, self.total_iters):
             batch_np = next(self.train_loader)
             batch = shard_batch(self.mesh, {
@@ -134,28 +167,119 @@ class Trainer:
             self.state, metrics = self._train_step(self.state, batch, self.rng)
 
             if hasattr(self, "monitor"):
+                # every loss term, like the reference Monitor (monitor.py:33-107)
                 lr = float(self.lr_schedule(it))
-                self.monitor.update(it, {k: metrics[k] for k in ("loss",)}, lr,
-                                    total_iters=self.total_iters)
+                self.monitor.update(it, metrics, lr, total_iters=self.total_iters)
+
+            if self.swa is not None:
+                from ..engine.swa import maybe_update_swa
+
+                self.swa = maybe_update_swa(
+                    self.swa, self.state.params, it + 1,
+                    cfg.SOLVER.SWA.START_ITER, cfg.SOLVER.SWA.MERGE_ITER,
+                )
+
+            if val_every and (it + 1) % val_every == 0:
+                self.validate(it + 1)
 
             if (it + 1) % cfg.SOLVER.ITERATION_SAVE == 0 and (it + 1) >= cfg.SOLVER.START_SAVE:
                 self.save_checkpoint(it)
         jax.block_until_ready(self.state.params)
+        if self.swa is not None and self.swa.params is not None:
+            self.save_swa_checkpoint()
         return time.perf_counter() - t0
+
+    # ------------------------------------------------------------------
+    def validate(self, iteration: int) -> Dict[str, float]:
+        """In-training validation (reference trainer.py:321-396): run the val
+        split, compute the dataset metric, log it, and keep
+        ``checkpoint_best`` at the best primary metric (:388-390)."""
+        if not hasattr(self, "_val_loader"):
+            self._val_loader = build_dataloader(self.cfg, "val")
+        dt = self.cfg.DATASET.DATA_TYPE
+        if dt == "BBBC":
+            res = self.test_bbbc(loader=iter(self._val_loader),
+                                 model_name=f"val_{iteration:06d}")
+            primary = res["AJI"]
+        else:
+            res = self.eval_cvppp(loader=iter(self._val_loader),
+                                  model_name=f"val_{iteration:06d}")
+            primary = res["SBD"]
+        if hasattr(self, "monitor"):
+            self.monitor.add_eval(iteration, res)
+        if primary > self.best_val:
+            self.best_val = primary
+            ckpt.save_checkpoint(self.output_dir, self.state, iteration, is_best=True)
+        return res
+
+    def save_swa_checkpoint(self) -> str:
+        """Checkpoint the SWA-averaged parameters (reference trainer.py:666-684),
+        after refreshing BatchNorm statistics under the averaged weights."""
+        state = self.state.replace(params=self.swa.params)
+        if self.state.batch_stats:
+            state = self._refresh_batch_stats(
+                state, self.cfg.SOLVER.SWA.BN_UPDATE_ITER)
+        return ckpt.save_checkpoint(
+            self.output_dir, state, int(self.state.step), is_best=False,
+            name="checkpoint_swa")
+
+    def _refresh_batch_stats(self, state: TrainState, n_iter: int) -> TrainState:
+        """Forward passes in train mode to re-estimate BN stats (the torch
+        ``update_bn`` step of SWA)."""
+        from ..models import PCTransModel
+
+        model = PCTransModel(config=self.model_config, train=True)
+
+        @jax.jit
+        def fwd(params, frozen, batch_stats, images):
+            _, mut = model.apply(
+                {"params": params, "frozen": frozen, "batch_stats": batch_stats},
+                images, mutable=["batch_stats"])
+            return mut["batch_stats"]
+
+        stats = state.batch_stats
+        for _ in range(max(int(n_iter), 1)):
+            batch_np = next(self.train_loader)
+            stats = fwd(state.params, state.frozen, stats,
+                        jnp.asarray(batch_np["image"], jnp.float32))
+        return state.replace(batch_stats=stats)
 
     def save_checkpoint(self, iteration: int, is_best: bool = False) -> str:
         return ckpt.save_checkpoint(self.output_dir, self.state, iteration + 1, is_best)
 
     # ------------------------------------------------------------------
-    def predict_probs(self, images: np.ndarray) -> np.ndarray:
-        """images [B, H, W, 3] -> sigmoid mask probabilities [B, Q, H, W]."""
-        return np.asarray(self._eval_step(self.state, jnp.asarray(images)))
+    def predict_probs(self, images: np.ndarray, threshold: Optional[float] = None) -> np.ndarray:
+        """images [B, H, W, 3] -> sigmoid mask probabilities [B, K, H, W]
+        (K = INFERENCE.TOP_K or all queries).  If ``threshold`` is given and
+        the lowest kept peak still clears it, TOP_K may have dropped
+        above-threshold masks — warn so the run is auditable."""
+        if self.tta is not None:
+            # flip/transpose ensemble over the full forward (reference
+            # TestAugmentor; built in test mode, trainer.py:78-81)
+            def fwd(x):
+                p, _ = self._eval_step(self.state, jnp.asarray(x))
+                return np.asarray(p)
+
+            return self.tta(fwd, np.asarray(images))
+        probs, peaks = self._eval_step(self.state, jnp.asarray(images))
+        probs = np.asarray(probs)
+        if threshold is not None and probs.shape[1] < self.model_config.num_queries:
+            peak_p = 1.0 / (1.0 + np.exp(-np.asarray(peaks)[:, -1]))
+            if (peak_p > threshold).any():
+                import warnings
+
+                warnings.warn(
+                    f"INFERENCE.TOP_K={probs.shape[1]} may be too small: the "
+                    f"lowest kept peak prob {peak_p.max():.3f} exceeds the "
+                    f"postprocess threshold {threshold}; raise TOP_K."
+                )
+        return probs
 
     def eval_cvppp(self, loader=None, model_name: str = "model") -> Dict[str, float]:
         loader = loader or build_dataloader(self.cfg, "val")
         sbd_all, diff_all, n = 0.0, 0.0, 0
         for batch in loader:
-            probs = self.predict_probs(batch["image"])
+            probs = self.predict_probs(batch["image"], threshold=0.69)
             for b in range(int(batch.get("_num_valid", probs.shape[0]))):
                 seg = instance_inference_cvppp(probs[b]).astype(np.uint16)
                 if "fg" in batch:
@@ -168,11 +292,46 @@ class Trainer:
         self._append_log(model_name, [res["SBD"], res["absDiffFG"]])
         return res
 
+    def test_cvppp(self, loader=None, submission: Optional[str] = None) -> str:
+        """Official CVPPP test set -> CodaLab ``submission.h5``.
+
+        Reference ``test_cvppp`` (engine/trainer.py:452-495): predict all 33
+        test plants at 530x500, mask by the provided foreground, clean up
+        with ``merge_func``, and write ``A1/<plant>/label`` datasets.  The
+        reference copies a hardcoded personal ``submission_example.h5``
+        (:483, an as-published landmine); here the file is created fresh
+        with the same layout.
+        """
+        import h5py
+
+        from ..data.cvppp import TEST_PLANTS
+        from ..inference.postprocess import merge_func
+
+        loader = loader or iter(build_dataloader(self.cfg, "test"))
+        segs, names = [], []
+        for batch in loader:
+            probs = self.predict_probs(batch["image"], threshold=0.69)
+            for b in range(int(batch.get("_num_valid", probs.shape[0]))):
+                seg = instance_inference_cvppp(probs[b]).astype(np.int32)
+                if "fg" in batch:
+                    seg = seg * (batch["fg"][b] > 0).astype(np.int32)
+                segs.append(merge_func(seg).astype(np.uint8))
+        out_dir = self.cfg.INFERENCE.OUTPUT_PATH
+        os.makedirs(out_dir, exist_ok=True)
+        path = submission or os.path.join(out_dir, "submission.h5")
+        with h5py.File(path, "w") as f:
+            grp = f.create_group("A1")
+            for k, seg in enumerate(segs):
+                plant = TEST_PLANTS[k] if k < len(TEST_PLANTS) else f"plant{k:03d}"
+                grp.create_group(plant).create_dataset("label", data=seg)
+        print(f"test_cvppp: wrote {len(segs)} predictions to {path}")
+        return path
+
     def test_bbbc(self, loader=None, model_name: str = "model") -> Dict[str, float]:
         loader = loader or build_dataloader(self.cfg, "test")
         aji, dice, f1, pq = [], [], [], []
         for batch in loader:
-            probs = self.predict_probs(batch["image"])
+            probs = self.predict_probs(batch["image"], threshold=0.05)
             for b in range(int(batch.get("_num_valid", probs.shape[0]))):
                 seg = instance_inference_bbbc(probs[b])
                 gt = mb.remap_label(batch["label"][b], by_size=False)

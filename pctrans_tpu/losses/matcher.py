@@ -50,10 +50,11 @@ def match_one_image(
 ) -> jnp.ndarray:
     """Returns query4gt int32 [G] (meaningful where ``valid``)."""
     coords = jax.random.uniform(key, (1, num_points, 2))
-    Q = pred_logits.shape[0]
-    G = gt_masks.shape[0]
-    out_pts = point_sample(pred_logits[:, None], jnp.broadcast_to(coords, (Q, num_points, 2)))[:, 0]
-    tgt_pts = point_sample(gt_masks[:, None], jnp.broadcast_to(coords, (G, num_points, 2)))[:, 0]
+    # the points are shared across masks, so sample all Q (resp. G) masks as
+    # channels of one contraction — on the MXU this is N=Q wide instead of
+    # Q separate N=1 dots (Point_HungarianMatcher semantics, matcher.py:116)
+    out_pts = point_sample(pred_logits[None], coords)[0]   # [Q, P]
+    tgt_pts = point_sample(gt_masks[None], coords)[0]      # [G, P]
     cost = _pair_costs(out_pts.astype(jnp.float32), tgt_pts.astype(jnp.float32),
                        cost_mask, cost_dice)
     return match_padded(cost, valid)

@@ -35,8 +35,11 @@ class FrozenBatchNorm(nn.Module):
         bias = self.variable("frozen", "bias", jnp.zeros, (self.features,))
         mean = self.variable("frozen", "mean", jnp.zeros, (self.features,))
         var = self.variable("frozen", "var", jnp.ones, (self.features,))
+        # fold in f32, apply in the activation dtype (a f32 multiplier would
+        # silently promote a bf16 backbone back to f32)
         w = scale.value * jax.lax.rsqrt(var.value + self.eps)
-        return x * w + (bias.value - mean.value * w)
+        b = bias.value - mean.value * w
+        return x * w.astype(x.dtype) + b.astype(x.dtype)
 
 
 def get_norm(name: str, features: int, train: bool = True, axis_name: Optional[str] = None):
@@ -76,6 +79,7 @@ class ConvNorm(nn.Module):
     train: bool = True
     axis_name: Optional[str] = None
     kernel_init: Callable = nn.initializers.xavier_uniform()
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -87,6 +91,7 @@ class ConvNorm(nn.Module):
             padding="SAME",
             use_bias=use_bias,
             kernel_init=self.kernel_init,
+            dtype=self.dtype,
         )(x)
         norm = get_norm(self.norm, self.features, self.train, self.axis_name)
         if norm is not None:
@@ -104,12 +109,14 @@ class MLP(nn.Module):
     num_layers: int
     kernel_init: Callable = nn.initializers.xavier_uniform()
     bias_init: Callable = nn.initializers.zeros
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
             dim = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
-            x = nn.Dense(dim, kernel_init=self.kernel_init, bias_init=self.bias_init)(x)
+            x = nn.Dense(dim, kernel_init=self.kernel_init, bias_init=self.bias_init,
+                         dtype=self.dtype)(x)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
         return x

@@ -38,6 +38,17 @@ class ModelConfig:
     head_norm: str = "SyncBN"      # FPN + seg-head norm
     stride_in_1x1: bool = False
     enc_points: int = 4
+    # Rematerialize encoder/decoder layers in the backward pass (HBM for
+    # FLOPs: without it the 448^2 batch-2 train step needs ~18G of 16G HBM).
+    remat: bool = True
+    # Mixed precision (the reference trains under AMP, engine/trainer.py:140):
+    # "bfloat16" runs matmuls/convs on the MXU at bf16 with f32 params, f32
+    # norms/softmax and f32 outputs.  bf16's exponent range matches f32, so
+    # the reference's fp16-motivated fp32-forced pixel-decoder region
+    # (msdeformattn.py:314 @autocast(enabled=False)) is not needed; sampling
+    # locations stay f32 regardless (bf16's 8-bit mantissa would quantize
+    # pixel coordinates by ~0.25px).
+    dtype: str = "float32"
 
 
 def build_model_config(cfg) -> ModelConfig:
@@ -60,6 +71,7 @@ def build_model_config(cfg) -> ModelConfig:
         backbone_norm=cfg.MODEL.RESNETS.NORM,
         head_norm=sh.NORM,
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        dtype="bfloat16" if cfg.MODEL.MIXED_PRECESION else "float32",
     )
 
 
@@ -84,14 +96,16 @@ class PCTransModel(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> Dict[str, Any]:
         c = self.config
+        dtype = jnp.dtype(c.dtype)
         feats = ResNet(
             depth=c.backbone_depth,
             stride_in_1x1=c.stride_in_1x1,
             norm=c.backbone_norm,
             train=self.train,
             axis_name=self.axis_name,
+            dtype=dtype,
             name="backbone",
-        )(images)
+        )(images.astype(dtype))
 
         mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
             conv_dim=c.conv_dim,
@@ -102,6 +116,8 @@ class PCTransModel(nn.Module):
             n_points=c.enc_points,
             train=self.train,
             axis_name=self.axis_name,
+            dtype=dtype,
+            remat=c.remat,
             name="pixel_decoder",
         )(feats)
 
@@ -118,8 +134,11 @@ class PCTransModel(nn.Module):
             rel_coord=c.rel_coord,
             train=self.train,
             axis_name=self.axis_name,
+            dtype=dtype,
+            remat=c.remat,
             name="predictor",
         )(multi_scale, mask_features)
 
-        out["mask_features"] = mask_features
+        # losses and postprocess consume f32 regardless of the compute dtype
+        out["mask_features"] = mask_features.astype(jnp.float32)
         return out

@@ -50,12 +50,13 @@ class MSDeformAttn(nn.Module):
     n_levels: int = 3
     n_heads: int = 8
     n_points: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self,
         query: jnp.ndarray,               # [B, Lq, C]
-        reference_points: jnp.ndarray,    # [B, Lq, L, 2] normalized (x, y)
+        reference_points: jnp.ndarray,    # [B, Lq, L, 2] normalized (x, y), f32
         input_flatten: jnp.ndarray,       # [B, S, C]
         spatial_shapes: Sequence[Tuple[int, int]],
     ) -> jnp.ndarray:
@@ -64,13 +65,17 @@ class MSDeformAttn(nn.Module):
         M, L, P = self.n_heads, self.n_levels, self.n_points
         D = self.d_model // M
 
-        value = nn.Dense(self.d_model, kernel_init=_XAVIER, name="value_proj")(input_flatten)
+        value = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
+                         name="value_proj")(input_flatten)
         value = value.reshape(B, S, M, D)
 
+        # sampling locations stay f32: bf16's 8-bit mantissa quantizes pixel
+        # coordinates by up to ~0.25px on the stride-8 level
         offsets = nn.Dense(
             M * L * P * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=_sampling_offset_bias_init(M, L, P),
+            dtype=jnp.float32,
             name="sampling_offsets",
         )(query).reshape(B, Lq, M, L, P, 2)
 
@@ -78,20 +83,22 @@ class MSDeformAttn(nn.Module):
             M * L * P,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=jnp.float32,
             name="attention_weights",
         )(query).reshape(B, Lq, M, L * P)
         attn = jax.nn.softmax(attn, axis=-1).reshape(B, Lq, M, L, P)
 
         # normalize offsets by each level's (W, H)
         normalizer = jnp.asarray(
-            [[w, h] for (h, w) in spatial_shapes], dtype=query.dtype
+            [[w, h] for (h, w) in spatial_shapes], dtype=jnp.float32
         )  # [L, 2] as (W, H)
         locations = (
-            reference_points[:, :, None, :, None, :]
+            reference_points[:, :, None, :, None, :].astype(jnp.float32)
             + offsets / normalizer[None, None, None, :, None, :]
         )
         out = ms_deform_attn_core(value, spatial_shapes, locations, attn)
-        return nn.Dense(self.d_model, kernel_init=_XAVIER, name="output_proj")(out)
+        return nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
+                        name="output_proj")(out)
 
 
 class MSDeformAttnEncoderLayer(nn.Module):
@@ -100,15 +107,18 @@ class MSDeformAttnEncoderLayer(nn.Module):
     n_levels: int = 3
     n_heads: int = 8
     n_points: int = 4
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
         attn = MSDeformAttn(
-            self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn"
+            self.d_model, self.n_levels, self.n_heads, self.n_points,
+            dtype=self.dtype, name="self_attn"
         )(src + pos, reference_points, src, spatial_shapes)
         src = nn.LayerNorm(name="norm1")(src + attn)
-        y = nn.Dense(self.d_ffn, kernel_init=_XAVIER, name="linear1")(src)
-        y = nn.Dense(self.d_model, kernel_init=_XAVIER, name="linear2")(nn.relu(y))
+        y = nn.Dense(self.d_ffn, kernel_init=_XAVIER, dtype=self.dtype, name="linear1")(src)
+        y = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
+                     name="linear2")(nn.relu(y))
         return nn.LayerNorm(name="norm2")(src + y)
 
 
@@ -144,39 +154,54 @@ class MSDeformAttnPixelDecoder(nn.Module):
     fpn_in_features: Sequence[str] = ("res2",)
     train: bool = True
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
+        # The reference forces this whole region to fp32 (msdeformattn.py:314
+        # @autocast(enabled=False)) because fp16 overflows; bf16 shares f32's
+        # exponent range so the TPU policy keeps the encoder in the compute
+        # dtype and pins only the sampling locations / softmax to f32.
+        dtype = self.dtype
         # top-down order: res5, res4, res3
         tif = list(self.transformer_in_features)[::-1]
         srcs = []
         pos = []
         spatial_shapes = []
         for idx, name in enumerate(tif):
-            x = features[name].astype(jnp.float32)  # deformable attn runs fp32
+            x = features[name].astype(dtype)
             B, H, W, _ = x.shape
-            y = nn.Conv(self.conv_dim, (1, 1), kernel_init=_XAVIER, name=f"input_proj{idx}")(x)
+            y = nn.Conv(self.conv_dim, (1, 1), kernel_init=_XAVIER, dtype=dtype,
+                        name=f"input_proj{idx}")(x)
             y = nn.GroupNorm(num_groups=32, name=f"input_gn{idx}")(y)
             srcs.append(y.reshape(B, H * W, self.conv_dim))
-            pe = position_embedding_sine(H, W, self.conv_dim // 2)
+            pe = position_embedding_sine(H, W, self.conv_dim // 2).astype(dtype)
             pos.append(jnp.broadcast_to(pe.reshape(1, H * W, self.conv_dim), (B, H * W, self.conv_dim)))
             spatial_shapes.append((H, W))
 
+        spatial_shapes = tuple(spatial_shapes)  # hashable (remat static arg)
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (len(tif), self.conv_dim)
-        )
+        ).astype(dtype)
         src_flat = jnp.concatenate(
             [s + level_embed[i][None, None, :] for i, s in enumerate(srcs)], axis=1
         )
         pos_flat = jnp.concatenate(pos, axis=1)
-        refs = encoder_reference_points(spatial_shapes, src_flat.dtype)
+        refs = encoder_reference_points(spatial_shapes, jnp.float32)
         refs = jnp.broadcast_to(refs[None], (src_flat.shape[0],) + refs.shape)
 
+        # remat: recompute each encoder layer in the backward pass instead of
+        # storing its activations (HBM for FLOPs; spatial_shapes is static)
+        layer_cls = (
+            nn.remat(MSDeformAttnEncoderLayer, static_argnums=(4,))
+            if self.remat else MSDeformAttnEncoderLayer
+        )
         y = src_flat
         for i in range(self.transformer_layers):
-            y = MSDeformAttnEncoderLayer(
+            y = layer_cls(
                 self.conv_dim, self.d_ffn, len(tif), self.n_heads, self.n_points,
-                name=f"encoder_layer{i}",
+                dtype=dtype, name=f"encoder_layer{i}",
             )(y, pos_flat, refs, spatial_shapes)
 
         # split back into maps
@@ -189,10 +214,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
 
         # FPN fusion for res2 -> stride-4 mask features
         for idx, name in enumerate(list(self.fpn_in_features)[::-1]):
-            x = features[name].astype(jnp.float32)
+            x = features[name].astype(dtype)
             lateral = ConvNorm(
                 self.conv_dim, (1, 1), norm=self.norm, use_bias=(self.norm == ""),
-                train=self.train, axis_name=self.axis_name, name=f"adapter{idx}",
+                train=self.train, axis_name=self.axis_name, dtype=dtype,
+                name=f"adapter{idx}",
             )(x)
             up = resize_bilinear(
                 jnp.moveaxis(out[-1], -1, 1), x.shape[1:3]
@@ -201,7 +227,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             fused = ConvNorm(
                 self.conv_dim, (3, 3), norm=self.norm, activation=nn.relu,
                 use_bias=(self.norm == ""), train=self.train, axis_name=self.axis_name,
-                name=f"layer{idx}",
+                dtype=dtype, name=f"layer{idx}",
             )(fused)
             out.append(fused)
 

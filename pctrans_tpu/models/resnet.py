@@ -34,6 +34,7 @@ class BottleneckBlock(nn.Module):
     norm: str = "FrozenBN"
     train: bool = True
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +45,7 @@ class BottleneckBlock(nn.Module):
             pad = k // 2
             y = nn.Conv(
                 feats, (k, k), strides=(s, s), padding=[(pad, pad), (pad, pad)],
-                use_bias=False, kernel_init=_KAIMING, name=name,
+                use_bias=False, kernel_init=_KAIMING, dtype=self.dtype, name=name,
             )(y)
             return get_norm(self.norm, feats, self.train, self.axis_name)(y)
 
@@ -70,6 +71,7 @@ class ResNet(nn.Module):
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
     train: bool = True
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -80,7 +82,7 @@ class ResNet(nn.Module):
         y = nn.Conv(
             self.stem_out_channels, (7, 7), strides=(2, 2),
             padding=[(3, 3), (3, 3)], use_bias=False, kernel_init=_KAIMING,
-            name="stem_conv1",
+            dtype=self.dtype, name="stem_conv1",
         )(x)
         y = get_norm(self.norm, self.stem_out_channels, self.train, self.axis_name)(y)
         y = nn.relu(y)
@@ -101,6 +103,7 @@ class ResNet(nn.Module):
                     norm=self.norm,
                     train=self.train,
                     axis_name=self.axis_name,
+                    dtype=self.dtype,
                     name=f"{name}_block{b}",
                 )(y)
             if name in self.out_features:

@@ -57,6 +57,8 @@ def _attention(q, k, v, nheads: int, bias: Optional[jnp.ndarray] = None):
     q, k: [B, Lq/Lk, E]; v: [B, Lk, Ev].  Scaling follows torch
     ``MultiheadAttention``: (E // nheads) ** -0.5 on q.  ``bias`` is an
     additive [B, Lq, Lk] mask (0 or NEG_INF).  Returns [B, Lq, Ev].
+    QK/PV matmuls run in the inputs' dtype (bf16 under mixed precision);
+    the softmax is always f32.
     """
     B, Lq, E = q.shape
     Lk = k.shape[1]
@@ -65,10 +67,10 @@ def _attention(q, k, v, nheads: int, bias: Optional[jnp.ndarray] = None):
     q = q.reshape(B, Lq, nheads, hd) * (hd ** -0.5)
     k = k.reshape(B, Lk, nheads, hd)
     v = v.reshape(B, Lk, nheads, Ev // nheads)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
     if bias is not None:
-        logits = logits + bias[:, None, :, :]
-    w = jax.nn.softmax(logits, axis=-1)
+        logits = logits + bias[:, None, :, :].astype(jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhe->bqhe", w, v)
     return out.reshape(B, Lq, Ev)
 
@@ -78,20 +80,21 @@ class SelfAttentionLayer(nn.Module):
 
     d_model: int
     nheads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, query_pos):
-        d = self.d_model
-        q = nn.Dense(d, kernel_init=_XAVIER, name="sa_qcontent_proj")(tgt) + nn.Dense(
-            d, kernel_init=_XAVIER, name="sa_qpos_proj"
+        d, dt = self.d_model, self.dtype
+        q = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="sa_qcontent_proj")(tgt) + nn.Dense(
+            d, kernel_init=_XAVIER, dtype=dt, name="sa_qpos_proj"
         )(query_pos)
-        k = nn.Dense(d, kernel_init=_XAVIER, name="sa_kcontent_proj")(tgt) + nn.Dense(
-            d, kernel_init=_XAVIER, name="sa_kpos_proj"
+        k = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="sa_kcontent_proj")(tgt) + nn.Dense(
+            d, kernel_init=_XAVIER, dtype=dt, name="sa_kpos_proj"
         )(query_pos)
-        v = nn.Dense(d, kernel_init=_XAVIER, name="sa_v_proj")(tgt)
+        v = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="sa_v_proj")(tgt)
         out = _attention(q, k, v, self.nheads)
-        out = nn.Dense(d, kernel_init=_XAVIER, name="out_proj")(out)
-        return nn.LayerNorm(name="norm1")(tgt + out)
+        out = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="out_proj")(out)
+        return nn.LayerNorm(name="norm1")(tgt.astype(dt) + out)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -104,26 +107,29 @@ class CrossAttentionLayer(nn.Module):
     d_model: int
     nheads: int
     points_num: int = 1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt, memory, pos, query_pos, query_sine_embed, attn_bias, is_first):
-        d, h = self.d_model, self.nheads
+        d, h, dt = self.d_model, self.nheads, self.dtype
         B, Q, _ = tgt.shape
         S = memory.shape[1]
 
-        q_content = nn.Dense(d, kernel_init=_XAVIER, name="ca_qcontent_proj")(tgt)
-        k_content = nn.Dense(d, kernel_init=_XAVIER, name="ca_kcontent_proj")(memory)
-        v = nn.Dense(d, kernel_init=_XAVIER, name="ca_v_proj")(memory)
-        k_pos = nn.Dense(d, kernel_init=_XAVIER, name="ca_kpos_proj")(pos)
+        q_content = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="ca_qcontent_proj")(tgt)
+        k_content = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="ca_kcontent_proj")(memory)
+        v = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="ca_v_proj")(memory)
+        k_pos = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="ca_kpos_proj")(pos)
 
         if is_first:
-            q = q_content + nn.Dense(d, kernel_init=_XAVIER, name="ca_qpos_proj")(query_pos)
+            q = q_content + nn.Dense(d, kernel_init=_XAVIER, dtype=dt,
+                                     name="ca_qpos_proj")(query_pos)
             k = k_content + k_pos
         else:
             q = q_content
             k = k_content
 
-        sine = nn.Dense(d, kernel_init=_XAVIER, name="ca_qpos_sine_proj")(query_sine_embed)
+        sine = nn.Dense(d, kernel_init=_XAVIER, dtype=dt,
+                        name="ca_qpos_sine_proj")(query_sine_embed)
         # concat per head: [B, L, h, hd] x2 -> [B, L, 2d]
         hd = d // h
         q = jnp.concatenate(
@@ -134,19 +140,21 @@ class CrossAttentionLayer(nn.Module):
         ).reshape(B, S, 2 * d)
 
         out = _attention(q, k, v, h, bias=attn_bias)
-        out = nn.Dense(d, kernel_init=_XAVIER, name="out_proj")(out)
-        return nn.LayerNorm(name="norm2")(tgt + out)
+        out = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="out_proj")(out)
+        return nn.LayerNorm(name="norm2")(tgt.astype(dt) + out)
 
 
 class FFNLayer(nn.Module):
     d_model: int
     dim_feedforward: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt):
-        y = nn.Dense(self.dim_feedforward, kernel_init=_XAVIER, name="linear1")(tgt)
-        y = nn.Dense(self.d_model, kernel_init=_XAVIER, name="linear2")(nn.relu(y))
-        return nn.LayerNorm(name="norm")(tgt + y)
+        dt = self.dtype
+        y = nn.Dense(self.dim_feedforward, kernel_init=_XAVIER, dtype=dt, name="linear1")(tgt)
+        y = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=dt, name="linear2")(nn.relu(y))
+        return nn.LayerNorm(name="norm")(tgt.astype(dt) + y)
 
 
 def compute_locations(h: int, w: int, stride: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -175,6 +183,8 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
     num_feature_levels: int = 3
     train: bool = True
     axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         d = self.hidden_dim
@@ -182,15 +192,24 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         self.query_embed = self.param("query_embed", nn.initializers.normal(1.0), (self.num_queries, d))
         self.level_embed = self.param("level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, d))
 
+        # remat: recompute attention/FFN layers in the backward pass
+        cross_cls = (nn.remat(CrossAttentionLayer, static_argnums=(7,))
+                     if self.remat else CrossAttentionLayer)
+        self_cls = nn.remat(SelfAttentionLayer) if self.remat else SelfAttentionLayer
+        ffn_cls = nn.remat(FFNLayer) if self.remat else FFNLayer
+
         self.cross_layers = [
-            CrossAttentionLayer(d, self.nheads, self.points_num, name=f"cross{i}")
+            cross_cls(d, self.nheads, self.points_num, dtype=self.dtype,
+                      name=f"cross{i}")
             for i in range(self.dec_layers)
         ]
         self.self_layers = [
-            SelfAttentionLayer(d, self.nheads, name=f"self{i}") for i in range(self.dec_layers)
+            self_cls(d, self.nheads, dtype=self.dtype, name=f"self{i}")
+            for i in range(self.dec_layers)
         ]
         self.ffn_layers = [
-            FFNLayer(d, self.dim_feedforward, name=f"ffn{i}") for i in range(self.dec_layers)
+            ffn_cls(d, self.dim_feedforward, dtype=self.dtype, name=f"ffn{i}")
+            for i in range(self.dec_layers)
         ]
         self.decoder_norm = nn.LayerNorm(name="decoder_norm")
 
@@ -210,13 +229,13 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         self.mask_head = nn.Conv(
             self.mask_dim, (1, 1),
             kernel_init=nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-            name="mask_head",
+            dtype=self.dtype, name="mask_head",
         )
         if self.sem_loss_on:
             self.seg_head = [
                 ConvNorm(
                     d, (3, 3), norm=self.sem_norm, activation=nn.relu, use_bias=False,
-                    train=self.train, axis_name=self.axis_name,
+                    train=self.train, axis_name=self.axis_name, dtype=self.dtype,
                     kernel_init=_KAIMING_UNIFORM_A1, name=f"seg_head{i}",
                 )
                 for i in range(2)
@@ -240,7 +259,8 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             size_list.append((H, W))
             pe = position_embedding_sine(H, W, d // 2).reshape(1, H * W, d)
             pos.append(jnp.broadcast_to(pe, (B, H * W, d)).astype(xi.dtype))
-            src.append(xi.reshape(B, H * W, d) + self.level_embed[i][None, None, :])
+            src.append(xi.reshape(B, H * W, d)
+                       + self.level_embed[i][None, None, :].astype(xi.dtype))
 
         query_embed = jnp.broadcast_to(self.query_embed[None], (B, self.num_queries, d))
         output = jnp.broadcast_to(self.query_feat[None], (B, self.num_queries, d))
@@ -274,7 +294,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
 
             level = i % self.num_feature_levels
             output = self.cross_layers[i](
-                output, src[level], pos[level], query_embed, sine, attn_bias, is_first=(i == 0)
+                output, src[level], pos[level], query_embed, sine, attn_bias, i == 0
             )
             output = self.self_layers[i](output, query_embed)
             output = self.ffn_layers[i](output)
@@ -305,8 +325,8 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             "aux_masks": predictions_mask[:-1],          # 9 earlier predictions
             "reference_points": outputs_coords[-1],
             "aux_reference_points": outputs_coords[:-1],  # 8 earlier coords
-            "query_emb": output,                          # final layer output (pre-norm)
-            "sem_mask": sem_mask,
+            "query_emb": output.astype(jnp.float32),      # final layer output (pre-norm)
+            "sem_mask": None if sem_mask is None else sem_mask.astype(jnp.float32),
         }
 
     def dynamic_mask_with_coords(
@@ -327,9 +347,11 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         stride = self.mask_feat_stride
         dtype = mask_feat.dtype
 
-        scale = jnp.asarray([Wm * stride, Hm * stride], dtype)
-        inst_xy = reference_points[..., :2] * scale  # [B, Q, 2] image coords
-        locations = compute_locations(Hm, Wm, stride, dtype)  # [HW, 2]
+        # relative coordinates are raw pixel units (the reference .float()s
+        # them, :668-669); computed in f32 so bf16 doesn't quantize positions
+        scale = jnp.asarray([Wm * stride, Hm * stride], jnp.float32)
+        inst_xy = reference_points[..., :2].astype(jnp.float32) * scale  # [B, Q, 2]
+        locations = compute_locations(Hm, Wm, stride, jnp.float32)  # [HW, 2]
         rel = inst_xy[:, :, None, :] - locations[None, None, :, :]  # [B, Q, HW, 2]
 
         # split controller output: weights then biases (reference :944-979)
@@ -347,19 +369,32 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         b3 = params[..., offs[5] : offs[6]]
 
         feats = mask_feat.reshape(B, Hm * Wm, Cm)
-        if self.rel_coord:
-            # input channel order: [rel_coords(2), mask_feats(Cm)] (reference :672)
-            x = (
-                jnp.einsum("bqso,bqco->bqcs", rel, w1[..., :2])
-                + jnp.einsum("bso,bqco->bqcs", feats, w1[..., 2:])
-                + b1[..., None]
-            )
-        else:
-            x = jnp.einsum("bso,bqco->bqcs", feats, w1) + b1[..., None]
-        x = nn.relu(x)
-        x = nn.relu(jnp.einsum("bqos,bqco->bqcs", x, w2) + b2[..., None])
-        x = jnp.einsum("bqos,bqco->bqcs", x, w3) + b3[..., None]  # [B, Q, 1, HW]
-        mask_logits = x.reshape(B, Q, Hm, Wm)
+
+        def render(feats, rel, w1, w2, w3, b1, b2, b3):
+            if self.rel_coord:
+                # input channel order: [rel_coords(2), mask_feats(Cm)]
+                # (reference :672).  The rel contribution runs f32
+                # (coordinates), the feature contribution in the compute
+                # dtype; the sum is cast back down so the [B, Q, ch, HW]
+                # tensors — the largest in the decoder — stay in the compute
+                # dtype.
+                x = (
+                    jnp.einsum("bqso,bqco->bqcs", rel, w1[..., :2].astype(jnp.float32))
+                    + jnp.einsum("bso,bqco->bqcs", feats, w1[..., 2:].astype(dtype))
+                    + b1[..., None]
+                ).astype(dtype)
+            else:
+                x = (jnp.einsum("bso,bqco->bqcs", feats, w1.astype(dtype))
+                     + b1[..., None]).astype(dtype)
+            x = nn.relu(x)
+            x = nn.relu(jnp.einsum("bqos,bqco->bqcs", x, w2.astype(dtype))
+                        + b2[..., None].astype(dtype))
+            x = jnp.einsum("bqos,bqco->bqcs", x, w3.astype(dtype)) + b3[..., None].astype(dtype)
+            return x.reshape(B, Q, Hm, Wm).astype(jnp.float32)
+
+        if self.remat:  # the [B, Q, ch, HW] tensors dominate decoder memory
+            render = jax.checkpoint(render)
+        mask_logits = render(feats, rel, w1, w2, w3, b1, b2, b3)  # [B, Q, Hm, Wm]
 
         # attention mask for the next layer
         attn = resize_bilinear(mask_logits, attn_size)            # [B, Q, h, w]

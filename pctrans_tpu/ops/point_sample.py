@@ -19,13 +19,85 @@ import jax
 import jax.numpy as jnp
 
 
-def grid_sample_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Sample ``img`` [..., H, W] at continuous pixel coords (x, y) [...].
+def grid_sample_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                         chunk: int = 1024) -> jnp.ndarray:
+    """Sample ``img`` [B, C, H, W] at continuous pixel coords (x, y) [B, P].
 
-    ``img`` has shape [B, C, H, W]; ``x``/``y`` have shape [B, P] (pixel
-    coordinates, origin at the center of pixel (0,0)).  Returns [B, C, P].
-    Out-of-bounds contributions are zero (padding_mode='zeros').
+    Returns [B, C, P]; out-of-bounds contributions are zero
+    (padding_mode='zeros').
+
+    TPU formulation: bilinear sampling is the rank-1 hat product
+    ``hat(y - sy) img[sy, sx] hat(x - sx)``, ``hat(t) = max(0, 1 - |t|)`` —
+    dense contractions per chunk of points instead of 4 row-serial gathers
+    (XLA TPU gathers cost ~4ns/row; the training criterion samples O(10^8)
+    points per step, which made point sampling the dominant train cost, and
+    its scatter-add backward is worse).  The hat product is bit-equal to the
+    corner formulation in-range and zero outside; gradients are matmuls.
+
+    Two contraction orders, chosen by channel count (MXU wants a wide N):
+    * C small (per-mask sampling, C=1): two-stage separable —
+      ``A[p, c, sx] = sum_sy hy[p, sy] img[c, sy, sx]`` (matmul, N = C*W)
+      then a cheap VPU reduce over sx.  A fused single dot would have
+      N = C = 1, wasting 128x of the systolic array.
+    * C large (shared coords across masks, e.g. the matcher's Q/G masks):
+      fused generator ``W[p, (sy sx)] = hy*hx`` contracted against
+      ``img[(sy sx), c]`` (N = C); the two-stage A would be C*W wide and
+      blow memory.
     """
+    B, C, H, W = img.shape
+    P = x.shape[1]
+    cdt = jnp.promote_types(img.dtype, jnp.float32)
+
+    CH = max(1, min(chunk, P))
+    nch = -(-P // CH)
+    Pp = nch * CH
+    x = x.astype(cdt)
+    y = y.astype(cdt)
+    if Pp != P:  # pad with far-out-of-range coords -> zero hats
+        x = jnp.pad(x, ((0, 0), (0, Pp - P)), constant_values=-2.0)
+        y = jnp.pad(y, ((0, 0), (0, Pp - P)), constant_values=-2.0)
+    xch = x.reshape(B, nch, CH).transpose(1, 0, 2)
+    ych = y.reshape(B, nch, CH).transpose(1, 0, 2)
+    sy = jnp.arange(H, dtype=cdt)
+    sx = jnp.arange(W, dtype=cdt)
+
+    # checkpoint the bodies: without it, AD saves the per-chunk hat tensors
+    # as scan residuals (O(10) GB at criterion shapes); recomputing them from
+    # the tiny coords is nearly free.
+    @jax.checkpoint
+    def body_separable(carry, xs):
+        xc, yc = xs                                       # [B, CH]
+        hy = jax.nn.relu(1.0 - jnp.abs(yc[..., None] - sy))   # [B, CH, H]
+        hx = jax.nn.relu(1.0 - jnp.abs(xc[..., None] - sx))   # [B, CH, W]
+        a = jax.lax.dot_general(                          # [B, CH, C, W]
+            hy.astype(img.dtype), img,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=cdt,
+        )
+        o = jnp.einsum("bpcw,bpw->bpc", a, hx.astype(cdt))
+        return carry, o                                   # [B, CH, C]
+
+    @jax.checkpoint
+    def body_generator(carry, xs):
+        xc, yc = xs
+        hy = jax.nn.relu(1.0 - jnp.abs(yc[..., None] - sy))
+        hx = jax.nn.relu(1.0 - jnp.abs(xc[..., None] - sx))
+        wm = (hy[..., :, None] * hx[..., None, :]).astype(img.dtype)
+        o = jax.lax.dot_general(
+            wm, img,
+            dimension_numbers=(((2, 3), (2, 3)), ((0,), (0,))),
+            preferred_element_type=cdt,
+        )
+        return carry, o                                   # [B, CH, C]
+
+    body = body_separable if C <= 8 else body_generator
+    _, ys = jax.lax.scan(body, None, (xch, ych))
+    out = jnp.transpose(ys, (1, 0, 2, 3)).reshape(B, Pp, C)[:, :P]
+    return jnp.transpose(out, (0, 2, 1)).astype(img.dtype)
+
+
+def grid_sample_bilinear_gather(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """4-corner gather formulation (semantics oracle for the hat path)."""
     B, C, H, W = img.shape
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)

@@ -29,6 +29,10 @@ def get_args():
     p.add_argument("--distributed", action="store_true",
                    help="kept for CLI compatibility; the mesh is always used")
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--submission", action="store_true",
+                   help="CVPPP: run the official test set and write the "
+                        "CodaLab submission.h5 (reference test_cvppp) "
+                        "instead of the val-split eval")
     p.add_argument("--local_rank", type=int, default=None)
     p.add_argument("--opts", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
@@ -53,7 +57,10 @@ def main():
         name = os.path.basename(args.checkpoint or "model")
         dt = cfg.DATASET.DATA_TYPE
         if dt in ("CVPPP", "synthetic"):
-            print(trainer.eval_cvppp(model_name=name))
+            if args.submission:
+                print(trainer.test_cvppp())
+            else:
+                print(trainer.eval_cvppp(model_name=name))
         elif dt == "BBBC":
             print(trainer.test_bbbc(model_name=name))
         else:

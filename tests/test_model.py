@@ -120,6 +120,49 @@ class TestFullModel:
         assert np.isfinite(np.asarray(out["pred_masks"])).all()
         assert np.isfinite(np.asarray(out["query_emb"])).all()
 
+    def test_bf16_forward_finite_f32_outputs(self):
+        """Mixed precision: bf16 compute, f32 loss-facing outputs, and params
+        initialized f32 with the same tree as the f32 model."""
+        import dataclasses
+
+        cfg16 = dataclasses.replace(TINY, dtype="bfloat16")
+        model = PCTransModel(config=cfg16, train=False)
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3))
+        vars_ = jax.jit(model.init)(jax.random.key(0), x)
+        # params remain f32 (master weights)
+        for leaf in jax.tree_util.tree_leaves(vars_["params"]):
+            assert leaf.dtype == jnp.float32
+        out = jax.jit(model.apply)(vars_, x)
+        assert out["pred_masks"].dtype == jnp.float32
+        assert out["query_emb"].dtype == jnp.float32
+        assert out["mask_features"].dtype == jnp.float32
+        assert np.isfinite(np.asarray(out["pred_masks"])).all()
+        # same parameter structure as the f32 model (checkpoints interchange)
+        vars32 = jax.jit(PCTransModel(config=TINY, train=False).init)(jax.random.key(0), x)
+        s16 = jax.tree_util.tree_structure(vars_["params"])
+        s32 = jax.tree_util.tree_structure(vars32["params"])
+        assert s16 == s32
+
+    def test_bf16_close_to_f32(self):
+        """bf16 compute should track the f32 forward to bf16-level tolerance."""
+        import dataclasses
+
+        x = jax.random.normal(jax.random.key(1), (1, 64, 64, 3))
+        vars_ = jax.jit(PCTransModel(config=TINY, train=False).init)(jax.random.key(0), x)
+        out32 = jax.jit(PCTransModel(config=TINY, train=False).apply)(vars_, x)
+        cfg16 = dataclasses.replace(TINY, dtype="bfloat16")
+        out16 = jax.jit(PCTransModel(config=cfg16, train=False).apply)(vars_, x)
+        m32 = np.asarray(out32["pred_masks"]).ravel()
+        m16 = np.asarray(out16["pred_masks"]).ravel()
+        # Pointwise worst-case bounds are not meaningful: the decoder's
+        # attn-mask threshold (sigmoid < 0.5) is a discrete branch that can
+        # flip under dtype noise at random init.  Require strong global
+        # agreement instead.
+        assert np.corrcoef(m32, m16)[0, 1] > 0.98
+        sm32 = np.asarray(out32["sem_mask"]).ravel()
+        sm16 = np.asarray(out16["sem_mask"]).ravel()
+        assert np.corrcoef(sm32, sm16)[0, 1] > 0.99
+
     def test_batchnorm_collection_updates(self):
         cfg = ModelConfig(
             hidden_dim=32, conv_dim=32, mask_dim=8, num_queries=10, nheads=4,

@@ -25,6 +25,17 @@ from pctrans_tpu.ops.lap import match_padded, solve_lap
 
 # ------------------------------------------------------------- point sample
 class TestPointSample:
+    def test_hat_matches_gather_formulation(self, rng):
+        from pctrans_tpu.ops.point_sample import grid_sample_bilinear_gather
+
+        img = rng.randn(2, 3, 9, 11).astype(np.float32)
+        x = (rng.rand(2, 37) * 13 - 1.5).astype(np.float32)
+        y = (rng.rand(2, 37) * 11 - 1.5).astype(np.float32)
+        hat = np.asarray(grid_sample_bilinear(jnp.array(img), jnp.array(x), jnp.array(y),
+                                              chunk=16))
+        gat = np.asarray(grid_sample_bilinear_gather(jnp.array(img), jnp.array(x), jnp.array(y)))
+        np.testing.assert_allclose(hat, gat, rtol=1e-5, atol=1e-6)
+
     def test_matches_torch_grid_sample(self, rng):
         B, C, H, W = 2, 3, 13, 17
         P = 50
@@ -178,6 +189,34 @@ class TestMSDeformAttn:
             locs.astype(np.float64), attn.astype(np.float64),
         )
         np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-12)
+
+    @pytest.mark.parametrize("which", ["hat", "gather"])
+    def test_tpu_formulations_match_reference(self, rng, which):
+        """Both TPU paths (hat-matmul production, patch-row gather) == the
+        plain 4-corner gather path, values and gradients."""
+        from pctrans_tpu.ops.msdeform import (
+            ms_deform_attn_core_gather,
+            ms_deform_attn_core_reference,
+        )
+
+        core = ms_deform_attn_core if which == "hat" else ms_deform_attn_core_gather
+        value, shapes, locs, attn = self._random_inputs(rng)
+
+        prod = np.asarray(core(jnp.array(value), shapes,
+                               jnp.array(locs), jnp.array(attn)))
+        ref = np.asarray(ms_deform_attn_core_reference(jnp.array(value), shapes,
+                                                       jnp.array(locs), jnp.array(attn)))
+        np.testing.assert_allclose(prod, ref, rtol=1e-5, atol=1e-5)
+
+        def loss(c, v, l, a):
+            return (c(v, shapes, l, a) ** 2).sum()
+
+        g1 = jax.grad(lambda v, l, a: loss(core, v, l, a), (0, 1, 2))(
+            jnp.array(value), jnp.array(locs), jnp.array(attn))
+        g2 = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_reference, v, l, a), (0, 1, 2))(
+            jnp.array(value), jnp.array(locs), jnp.array(attn))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
     def test_gradcheck_vs_torch(self, rng):
         """Gradients wrt value, locations and weights match torch autograd."""

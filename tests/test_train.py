@@ -92,6 +92,23 @@ class TestTrainStep:
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
+    def test_eval_step_top_k_exact_subset(self):
+        """Top-k lean eval returns exactly the full path's masks for the kept
+        queries, in descending peak order."""
+        from pctrans_tpu.engine.state import make_eval_step
+
+        cfg, model, tx, state, batch_np = tiny_setup(batch=1, size=32)
+        images = jnp.asarray(batch_np["image"])
+        full = jax.jit(make_eval_step(TINY))
+        lean = jax.jit(make_eval_step(TINY, top_k=4))
+        probs_all, peaks_all = full(state, images)
+        probs_k, peaks_k = lean(state, images)
+        assert probs_k.shape[1] == 4
+        order = np.argsort(-np.asarray(peaks_all)[0], kind="stable")[:4]
+        np.testing.assert_allclose(
+            np.asarray(probs_k)[0], np.asarray(probs_all)[0][order], rtol=1e-6, atol=1e-6
+        )
+
     def test_sharded_matches_single_device(self):
         """The mesh program must compute the same loss as single-device."""
         cfg, model, tx, state, batch_np = tiny_setup(batch=4, size=32)

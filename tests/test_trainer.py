@@ -1,0 +1,124 @@
+"""Trainer integration: train loop with per-loss monitoring, in-training
+validation + best checkpoint, SWA, partial restore, test_cvppp submission.
+
+Sized to reuse the XLA programs already compiled by tests/test_train.py
+(same TINY topology, batch 8 on the 8-device mesh, 32x32 inputs).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from pctrans_tpu.config import get_cfg_defaults
+from pctrans_tpu.engine import checkpoint as ckpt
+from pctrans_tpu.engine.trainer import Trainer
+
+
+def tiny_cfg(tmp_path):
+    cfg = get_cfg_defaults()
+    cfg.MODEL.RESNETS.DEPTH = 14
+    cfg.MODEL.MASK_FORMER.HIDDEN_DIM = 32
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    cfg.MODEL.SEM_SEG_HEAD.MASK_DIM = 8
+    cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = 10
+    cfg.MODEL.MASK_FORMER.NHEADS = 4
+    cfg.MODEL.MASK_FORMER.DIM_FEEDFORWARD = 64
+    cfg.MODEL.SEM_SEG_HEAD.TRANSFORMER_ENC_LAYERS = 1
+    cfg.MODEL.MASK_FORMER.DEC_LAYERS = 4
+    cfg.MODEL.SEM_SEG_HEAD.NORM = "GN"
+    cfg.MODEL.MASK_FORMER.TRAIN_NUM_POINTS = 256
+    cfg.MODEL.MAX_INSTANCES = 8
+    cfg.MODEL.INPUT_SIZE = [32, 32]
+    cfg.DATASET.DATA_TYPE = "synthetic"
+    cfg.DATASET.OUTPUT_PATH = str(tmp_path / "out")
+    cfg.INFERENCE.OUTPUT_PATH = str(tmp_path / "test")
+    cfg.INFERENCE.SAMPLES_PER_BATCH = 1
+    cfg.INFERENCE.TOP_K = 4
+    cfg.SOLVER.ITERATION_TOTAL = 4
+    cfg.SOLVER.ITERATION_SAVE = 2
+    cfg.SOLVER.START_SAVE = 0
+    cfg.SOLVER.ITERATION_VAL = 2
+    cfg.SOLVER.SAMPLES_PER_BATCH = 1
+    cfg.MONITOR.ITERATION_NUM = [1, 200]
+    return cfg
+
+
+class TestTrainerLoop:
+    def test_train_validate_swa_and_logs(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        cfg.SOLVER.SWA.ENABLED = True
+        cfg.SOLVER.SWA.START_ITER = 1
+        cfg.SOLVER.SWA.MERGE_ITER = 1
+        cfg.freeze()
+        trainer = Trainer(cfg, mode="train")
+        trainer.train()
+
+        # per-loss scalars in metrics.jsonl (not just the total)
+        lines = [json.loads(l) for l in
+                 open(os.path.join(cfg.DATASET.OUTPUT_PATH, "metrics.jsonl"))]
+        train_recs = [r for r in lines if "loss" in r]
+        assert train_recs, lines
+        for key in ("loss", "loss_mask", "loss_dice", "loss_sem", "loss_emb",
+                    "loss_reid_query", "loss_refpoints"):
+            assert key in train_recs[-1], sorted(train_recs[-1])
+
+        # in-training validation logged + best checkpoint written
+        eval_recs = [r for r in lines if "eval" in r]
+        assert eval_recs and "SBD" in eval_recs[-1]["eval"]
+        assert os.path.isdir(os.path.join(cfg.DATASET.OUTPUT_PATH, "checkpoint_best"))
+
+        # periodic checkpoints + SWA checkpoint
+        assert ckpt.list_checkpoints(cfg.DATASET.OUTPUT_PATH)
+        assert os.path.isdir(os.path.join(cfg.DATASET.OUTPUT_PATH, "checkpoint_swa"))
+
+    def test_partial_restore_and_submission(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        cfg.freeze()
+        trainer = Trainer(cfg, mode="test")
+        path = ckpt.save_checkpoint(cfg.DATASET.OUTPUT_PATH, trainer.state, 1)
+
+        # strict restore round-trips
+        restored = ckpt.restore_checkpoint(path, trainer.state)
+        a = jax.tree_util.tree_leaves(restored.params)[0]
+        b = jax.tree_util.tree_leaves(trainer.state.params)[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # partial restore into a WIDER model keeps init for mismatched leaves
+        cfg2 = tiny_cfg(tmp_path)
+        cfg2.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES = 12  # query_feat shape changes
+        cfg2.freeze()
+        trainer2 = Trainer(cfg2, mode="test")
+        before = np.asarray(trainer2.state.params["predictor"]["query_feat"]).copy()
+        merged = ckpt.restore_partial(path, trainer2.state, verbose=False)
+        after = np.asarray(merged.params["predictor"]["query_feat"])
+        np.testing.assert_array_equal(before, after)  # mismatched -> kept init
+        # a matching leaf was loaded from the checkpoint
+        src = np.asarray(trainer.state.params["backbone"]["stem_conv1"]["kernel"])
+        dst = np.asarray(merged.params["backbone"]["stem_conv1"]["kernel"])
+        np.testing.assert_array_equal(src, dst)
+
+        # test_cvppp writes a CodaLab-layout submission.h5
+        h5 = pytest.importorskip("h5py")
+        sub = trainer.test_cvppp()
+        with h5.File(sub, "r") as f:
+            assert "A1" in f
+            plants = list(f["A1"])
+            assert plants
+            first = f["A1"][plants[0]]["label"]
+            assert first.shape == (32, 32)
+
+    def test_tta_wiring(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        cfg.INFERENCE.AUG_MODE = "mean"
+        cfg.INFERENCE.AUG_NUM = 4
+        cfg.freeze()
+        trainer = Trainer(cfg, mode="test")
+        assert trainer.tta is not None
+        imgs = np.random.RandomState(0).randn(1, 32, 32, 3).astype(np.float32)
+        probs = trainer.predict_probs(imgs)
+        assert probs.shape[0] == 1 and probs.shape[-2:] == (32, 32)
+        assert np.isfinite(probs).all()
