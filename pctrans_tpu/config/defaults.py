@@ -34,6 +34,21 @@ def get_cfg_defaults() -> CfgNode:
     c.MODEL.LABEL_EROSION = 0
     c.MODEL.BLOCK_TYPE = "residual"
     c.MODEL.NORM_MODE = "sync_bn"    # on TPU batch stats sync via the data axis
+    # legacy-zoo knobs (reference defaults.py; consumed by build_architecture)
+    c.MODEL.FILTERS = [28, 36, 48, 64, 80]
+    c.MODEL.BLOCKS = [2, 2, 2, 2]
+    c.MODEL.KERNEL_SIZES = [3, 3, 5, 3, 3]
+    c.MODEL.ISOTROPY = [False, False, False, True, True]
+    c.MODEL.PAD_MODE = "replicate"
+    c.MODEL.ACT_MODE = "elu"
+    c.MODEL.POOLING_LAYER = False
+    c.MODEL.ATTENTION = "squeeze_excitation"
+    c.MODEL.BACKBONES = "resnet"     # fpn_3d backbone (reference MODEL.BACKBONES)
+    c.MODEL.DEPLOY_MODE = False      # RepVGG deploy mode
+    c.MODEL.AUX_OUT = False          # DeepLab auxiliary classifier
+    c.MODEL.EMBEDDING = 1            # unet_residual_3d embedding path
+    c.MODEL.HEAD_DEPTH = 1
+    c.MODEL.RETURN_FEATS = None
     c.MODEL.MIXED_PRECESION = False  # (sic) key name kept for compatibility
     c.MODEL.PRE_MODEL_ITER = 0
     c.MODEL.WEIGHTS = ""             # path to converted R-50 weights (.pkl or .npz)
@@ -120,6 +135,7 @@ def get_cfg_defaults() -> CfgNode:
     c.DATASET.VAL_IMAGE_NAME = None
     c.DATASET.VAL_LABEL_NAME = None
     c.DATASET.DO_2D = True
+    c.DATASET.IS_ISOTROPIC = False   # legacy-zoo kernel/stride isotropy
     c.DATASET.REDUCE_LABEL = True
     c.DATASET.PAD_SIZE = [0, 0, 0]
     c.DATASET.VAL_PAD_SIZE = [0, 0, 0]
@@ -127,8 +143,31 @@ def get_cfg_defaults() -> CfgNode:
     c.DATASET.POST_PROCESS = "none"
 
     # --------------------------------------------------------------- AUGMENTOR
+    # Volume (EM-stack) augmentation blocks (reference defaults.py AUGMENTOR
+    # section), consumed by data/volume_augment.build_train_augmentor.
     c.AUGMENTOR = CfgNode()
     c.AUGMENTOR.SMOOTH = False
+    c.AUGMENTOR.ADDITIONAL_TARGETS_NAME = ["label"]
+    c.AUGMENTOR.ADDITIONAL_TARGETS_TYPE = ["mask"]
+    c.AUGMENTOR.ROTATE = CfgNode({"ENABLED": True, "P": 0.5, "ROT90": True})
+    c.AUGMENTOR.RESCALE = CfgNode({"ENABLED": True, "P": 0.5})
+    c.AUGMENTOR.FLIP = CfgNode({"ENABLED": True, "P": 1.0, "DO_ZTRANS": 0})
+    c.AUGMENTOR.ELASTIC = CfgNode(
+        {"ENABLED": True, "P": 0.75, "ALPHA": 16.0, "SIGMA": 4.0})
+    c.AUGMENTOR.GRAYSCALE = CfgNode({"ENABLED": True, "P": 0.75})
+    c.AUGMENTOR.MISALIGNMENT = CfgNode(
+        {"ENABLED": True, "P": 0.5, "DISPLACEMENT": 16, "ROTATE_RATIO": 0.0})
+    c.AUGMENTOR.MISSINGSECTION = CfgNode(
+        {"ENABLED": True, "P": 0.5, "NUM_SECTION": 2})
+    c.AUGMENTOR.MISSINGPARTS = CfgNode({"ENABLED": True, "P": 0.9, "ITER": 64})
+    c.AUGMENTOR.MOTIONBLUR = CfgNode(
+        {"ENABLED": False, "P": 0.5, "SECTIONS": 2, "KERNEL_SIZE": 11})
+    c.AUGMENTOR.CUTBLUR = CfgNode(
+        {"ENABLED": False, "P": 0.5, "LENGTH_RATIO": 0.25,
+         "DOWN_RATIO_MIN": 2.0, "DOWN_RATIO_MAX": 8.0, "DOWNSAMPLE_Z": False})
+    c.AUGMENTOR.CUTNOISE = CfgNode(
+        {"ENABLED": False, "P": 0.75, "LENGTH_RATIO": 0.25, "SCALE": 0.2})
+    c.AUGMENTOR.COPYPASTE = CfgNode({"ENABLED": False, "P": 0.8})
 
     # ------------------------------------------------------------------ SOLVER
     c.SOLVER = CfgNode()

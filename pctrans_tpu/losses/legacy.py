@@ -1,0 +1,480 @@
+"""Legacy loss zoo, regularizers and multi-target Criterion dispatcher.
+
+Equivalents of the reference's non-MaskFormer training losses
+(connectomics/model/loss/loss.py:9-295, regularization.py:9-160,
+criterion.py:15-218) and the per-target channel splitter ``SplitActivation``
+(model/utils/misc.py:75-160).  Pure JAX functions (class instances are
+callable configs, not modules): ``loss(pred, target, weight_mask=None) ->
+scalar``.
+
+Channel convention: ``channel_axis=1`` (NCHW/NCDHW) matches the reference;
+pass ``channel_axis=-1`` for the channels-last legacy flax models.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# ----------------------------------------------------------------- activations
+
+
+def get_functional_act(name: str) -> Callable:
+    acts = {
+        "none": lambda x: x,
+        "sigmoid": jax.nn.sigmoid,
+        "softmax": lambda x: jax.nn.softmax(x, axis=1),
+        "tanh": jnp.tanh,
+    }
+    return acts[name]
+
+
+# ----------------------------------------------------------------------- losses
+
+
+@dataclasses.dataclass
+class DiceLoss:
+    """loss.py:9-59; smooth=100 additive, optional per-sample reduce."""
+
+    reduce: bool = True
+    smooth: float = 100.0
+    power: int = 1
+
+    def __call__(self, pred, target, weight_mask=None):
+        if self.reduce:  # per-sample dice, averaged
+            p = pred.reshape(pred.shape[0], -1)
+            t = target.reshape(target.shape[0], -1)
+            inter = (p * t).sum(-1)
+            denom = (p ** self.power).sum(-1) + (t ** self.power).sum(-1)
+            return (1 - (2 * inter + self.smooth) / (denom + self.smooth)).mean()
+        p = pred.reshape(-1)
+        t = target.reshape(-1)
+        inter = (p * t).sum()
+        denom = (p ** self.power).sum() + (t ** self.power).sum()
+        return 1 - (2 * inter + self.smooth) / (denom + self.smooth)
+
+
+@dataclasses.dataclass
+class WeightedMSE:
+    """loss.py:62-79: sum of weighted squared error / (B * spatial)."""
+
+    def __call__(self, pred, target, weight_mask=None):
+        spatial = 1
+        for s in pred.shape[2:]:
+            spatial *= s
+        norm = spatial * pred.shape[0]
+        se = (pred - target) ** 2
+        if weight_mask is not None:
+            se = se * weight_mask
+        return se.sum() / norm
+
+
+@dataclasses.dataclass
+class WeightedMAE:
+    def __call__(self, pred, target, weight_mask=None):
+        loss = jnp.abs(pred - target)
+        if weight_mask is not None:
+            loss = loss * weight_mask
+        return loss.mean()
+
+
+def _bce(prob, target, eps=1e-7):
+    prob = jnp.clip(prob, eps, 1 - eps)
+    return -(target * jnp.log(prob) + (1 - target) * jnp.log1p(-prob))
+
+
+def _bce_with_logits(logits, target):
+    return jnp.maximum(logits, 0) - logits * target + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+@dataclasses.dataclass
+class WeightedBCE:
+    """loss.py:94-104: probabilities in, weight = elementwise mask."""
+
+    def __call__(self, pred, target, weight_mask=None):
+        loss = _bce(pred, target)
+        if weight_mask is not None:
+            loss = loss * weight_mask
+        return loss.mean()
+
+
+@dataclasses.dataclass
+class WeightedBCEWithLogitsLoss:
+    eps: float = 0.0
+
+    def __call__(self, pred, target, weight_mask=None):
+        loss = _bce_with_logits(pred, jnp.clip(target, self.eps, 1 - self.eps))
+        if weight_mask is not None:
+            loss = loss * weight_mask
+        return loss.mean()
+
+
+@dataclasses.dataclass
+class WeightedCE:
+    """loss.py:120-144: multi-class CE with optional class weights and
+    elementwise weight mask; targets are integer class maps."""
+
+    class_weight: Optional[Sequence[float]] = None
+    channel_axis: int = 1
+
+    def __call__(self, pred, target, weight_mask=None):
+        logp = jax.nn.log_softmax(pred, axis=self.channel_axis)
+        tgt = jnp.expand_dims(target.astype(jnp.int32), self.channel_axis)
+        nll = -jnp.take_along_axis(logp, tgt, axis=self.channel_axis)
+        nll = jnp.squeeze(nll, self.channel_axis)
+        if self.class_weight is not None:
+            w = jnp.asarray(self.class_weight)[target.astype(jnp.int32)]
+            nll = nll * w
+        if weight_mask is not None:
+            nll = nll * weight_mask
+        return nll.mean()
+
+
+@dataclasses.dataclass
+class WeightedLS:
+    """Label-smoothing CE (loss.py:147-177)."""
+
+    classes: int = 10
+    cls_weights: Optional[Sequence[float]] = None
+    smoothing: float = 0.2
+    channel_axis: int = 1
+
+    def __call__(self, pred, target, weight_mask=None):
+        logp = jax.nn.log_softmax(pred, axis=self.channel_axis)
+        onehot = jax.nn.one_hot(target.astype(jnp.int32), self.classes,
+                                axis=self.channel_axis)
+        true = (onehot * (1.0 - self.smoothing)
+                + (1 - onehot) * self.smoothing / (self.classes - 1))
+        w = 1.0
+        if self.cls_weights is not None:
+            shape = [1] * pred.ndim
+            shape[self.channel_axis] = self.classes
+            w = jnp.asarray(self.cls_weights).reshape(shape)
+        loss = (-true * logp * w).sum(self.channel_axis)
+        if weight_mask is not None:
+            loss = loss * weight_mask
+        return loss.mean()
+
+
+@dataclasses.dataclass
+class WeightedBCEFocalLoss:
+    """loss.py:179-198: focal weighting on BCE-with-logits."""
+
+    gamma: float = 2.0
+    alpha: float = 0.25
+    eps: float = 0.0
+
+    def __call__(self, pred, target, weight_mask=None):
+        prob = jax.nn.sigmoid(pred)
+        pt = (1 - target) * (1 - prob) + target * prob
+        at = (1 - self.alpha) * target + self.alpha * (1 - target)
+        wt = at * (1 - pt) ** self.gamma
+        if weight_mask is not None:
+            wt = wt * weight_mask
+        bce = _bce_with_logits(pred, jnp.clip(target, self.eps, 1 - self.eps))
+        return (wt * bce).mean()
+
+
+@dataclasses.dataclass
+class WSDiceLoss:
+    """Weighted-soft dice (loss.py:201-224)."""
+
+    smooth: float = 100.0
+    power: float = 2.0
+    v2: float = 0.85
+    v1: float = 0.15
+
+    def __call__(self, pred, target, weight_mask=None):
+        p = pred.reshape(pred.shape[0], -1)
+        t = target.reshape(pred.shape[0], -1)
+        wt = t * (self.v2 - self.v1) + self.v1
+        gp = wt * (2 * p - 1)
+        g = wt * (2 * t - 1)
+        inter = (gp * g).sum(-1)
+        denom = (gp ** self.power).sum(-1) + (g ** self.power).sum(-1)
+        return (1 - (2 * inter + self.smooth) / (denom + self.smooth)).mean()
+
+
+@dataclasses.dataclass
+class GANLoss:
+    """loss.py:227-295: vanilla / lsgan / wgangp objectives."""
+
+    gan_mode: str = "lsgan"
+    target_real_label: float = 1.0
+    target_fake_label: float = 0.0
+
+    def __call__(self, prediction, target_is_real: bool):
+        if self.gan_mode == "lsgan":
+            tgt = self.target_real_label if target_is_real else self.target_fake_label
+            return ((prediction - tgt) ** 2).mean()
+        if self.gan_mode == "vanilla":
+            tgt = jnp.full_like(
+                prediction,
+                self.target_real_label if target_is_real else self.target_fake_label)
+            return _bce_with_logits(prediction, tgt).mean()
+        if self.gan_mode == "wgangp":
+            return -prediction.mean() if target_is_real else prediction.mean()
+        raise NotImplementedError(self.gan_mode)
+
+
+# ------------------------------------------------------------- regularizations
+
+
+@dataclasses.dataclass
+class BinaryReg:
+    """regularization.py:9-27: 1/|sigmoid(x)-0.5| pushes outputs binary."""
+
+    def __call__(self, pred, mask=None):
+        diff = jnp.clip(jnp.abs(jax.nn.sigmoid(pred) - 0.5), 1e-2, None)
+        loss = 1.0 / diff
+        if mask is not None:
+            loss = loss * mask
+        return loss.mean()
+
+
+@dataclasses.dataclass
+class ForegroundDTConsistency:
+    """regularization.py:30-56: FG mask vs signed EDT consistency."""
+
+    def __call__(self, pred1, pred2, mask=None):
+        log_pos = jax.nn.log_sigmoid(pred1)
+        log_neg = jax.nn.log_sigmoid(-pred1)
+        dist = jnp.tanh(pred2)
+        loss = -log_pos * jnp.clip(dist, 0, None) - log_neg * (-jnp.clip(dist, None, 0))
+        if mask is not None:
+            loss = loss * mask
+        return loss.mean()
+
+
+@dataclasses.dataclass
+class ContourDTConsistency:
+    """regularization.py:59-81: contour prob * |tanh(EDT)| squared."""
+
+    def __call__(self, pred1, pred2, mask=None):
+        loss = (jax.nn.sigmoid(pred1) * jnp.abs(jnp.tanh(pred2))) ** 2
+        if mask is not None:
+            loss = loss * mask
+        return loss.mean()
+
+
+@dataclasses.dataclass
+class FgContourConsistency:
+    """regularization.py:84-132: sobel edge of FG prob vs contour prob.
+
+    Operates on NCDHW tensors like the reference (per-slice 2D sobel).
+    """
+
+    tsz_h: int = 1
+    eps: float = 1e-7
+
+    def __call__(self, pred1, pred2, mask=None):
+        fg = jax.nn.sigmoid(pred1)       # [B, 1, Z, Y, X]
+        contour = jax.nn.sigmoid(pred2)
+        # cross-correlation with sobel [1, 0, -1]: f[x-1] - f[x+1], zero pad
+        fp = jnp.pad(fg, ((0, 0),) * 4 + ((1, 1),))
+        ex = fp[..., :-2] - fp[..., 2:]
+        fp = jnp.pad(fg, ((0, 0),) * 3 + ((1, 1), (0, 0)))
+        ey = fp[..., :-2, :] - fp[..., 2:, :]
+        edge = jnp.sqrt(ex ** 2 + ey ** 2 + self.eps)
+        edge = jnp.clip(edge, self.eps, 1.0 - self.eps)
+        sz = 2 * self.tsz_h + 1
+        edge = jnp.pad(edge, ((0, 0),) * 3 + ((1, 1), (1, 1)),
+                       constant_values=-jnp.inf)
+        B, C, Z, Y, X = edge.shape
+        edge = jax.lax.reduce_window(
+            edge, -jnp.inf, jax.lax.max,
+            (1, 1, 1, sz, sz), (1, 1, 1, 1, 1), "valid")
+        loss = (edge - contour) ** 2
+        if mask is not None:
+            loss = loss * mask
+        return loss.mean()
+
+
+@dataclasses.dataclass
+class NonoverlapReg:
+    """regularization.py:135-160: penalize pre*post synaptic overlap."""
+
+    fg_masked: bool = True
+    channel_axis: int = 1
+
+    def __call__(self, pred):
+        take = lambda i: jnp.take(pred, i, axis=self.channel_axis)
+        loss = jax.nn.sigmoid(take(0)) * jax.nn.sigmoid(take(1))
+        if self.fg_masked:
+            loss = loss * jax.nn.sigmoid(jax.lax.stop_gradient(take(2)))
+        return loss.mean()
+
+
+# ------------------------------------------------------------ split activation
+
+
+class SplitActivation:
+    """Per-target channel splitting (+ optional activations)
+    (model/utils/misc.py:75-160)."""
+
+    num_channels_dict = {
+        "0": 1, "8": 1, "1": 3, "2": 3, "3": 1, "4": 1, "5": 1, "6": 1,
+        "7": 2, "all": -1,
+    }
+
+    def __init__(self, target_opt: Sequence[str] = ("0",),
+                 output_act: Optional[Sequence[str]] = None,
+                 split_only: bool = False, do_2d: bool = False,
+                 channel_axis: int = 1):
+        self.channel_axis = channel_axis
+        nc = dict(self.num_channels_dict)
+        if do_2d:
+            nc["2"] = 2
+        self.split_channels: List[int] = []
+        self.target_opt = list(target_opt)
+        for i, topt in enumerate(self.target_opt):
+            if i < len(self.target_opt) - 1:
+                assert topt != "all", "Only last target can be all"
+            if topt == "all":
+                self.split_channels.append(-1)
+            elif topt[0] == "I":
+                ch = int(topt.split("-")[1]) if "-" in topt else 1
+                self.split_channels.append(ch)
+            elif topt[0] == "5" and "-" in topt:
+                _, mode, padding, quant, z_res = topt.split("-")
+                self.split_channels.append(11 if bool(int(quant)) else 1)
+            elif topt[0] == "9":
+                self.split_channels.append(int(topt.split("-")[1]))
+            else:
+                self.split_channels.append(nc[topt[0]])
+        self.split_only = split_only
+        self.act = None
+        if not split_only and output_act is not None:
+            self.act = [get_functional_act(a) for a in output_act]
+
+    def __call__(self, x):
+        channels = list(self.split_channels)
+        if channels[-1] == -1:
+            channels[-1] = x.shape[self.channel_axis] - sum(channels[:-1])
+        idx = []
+        start = 0
+        for c in channels:
+            idx.append((start, start + c))
+            start += c
+        parts = [
+            jax.lax.slice_in_dim(x, s, e, axis=self.channel_axis)
+            for (s, e) in idx
+        ]
+        if self.split_only or self.act is None:
+            return parts
+        return [a(p) for a, p in zip(self.act, parts)]
+
+
+# --------------------------------------------------------------- the criterion
+
+
+class LegacyCriterion:
+    """Multi-target loss dispatcher (reference Criterion, criterion.py:15-218):
+    splits the prediction per TARGET_OPT, applies each target's activated
+    losses with weights, adds regularizations, and returns
+    ``(total, per-term dict)``."""
+
+    loss_dict = {
+        "WeightedMSE": WeightedMSE, "WeightedMAE": WeightedMAE,
+        "WeightedBCE": WeightedBCE, "DiceLoss": DiceLoss,
+        "WeightedCE": WeightedCE,
+        "WeightedBCEWithLogitsLoss": WeightedBCEWithLogitsLoss,
+        "WeightedBCEFocalLoss": WeightedBCEFocalLoss,
+        "WSDiceLoss": WSDiceLoss,
+    }
+    regu_dict = {
+        "Binary": BinaryReg, "FgContour": FgContourConsistency,
+        "ContourDT": ContourDTConsistency, "FgDT": ForegroundDTConsistency,
+        "Nonoverlap": NonoverlapReg,
+    }
+
+    def __init__(self, target_opt: Sequence[str] = ("0",),
+                 loss_opt: Sequence[Sequence[str]] = (("WeightedBCE",),),
+                 output_act: Sequence[Sequence[str]] = (("none",),),
+                 loss_weight: Sequence[Sequence[float]] = ((1.0,),),
+                 loss_kwargs=None,
+                 regu_opt: Optional[Sequence[str]] = None,
+                 regu_target: Optional[Sequence[Sequence[int]]] = None,
+                 regu_weight: Optional[Sequence[float]] = None,
+                 do_2d: bool = False, channel_axis: int = 1):
+        self.target_opt = list(target_opt)
+        self.splitter = SplitActivation(target_opt, split_only=True,
+                                        do_2d=do_2d, channel_axis=channel_axis)
+        self.loss_opt = [list(l) for l in loss_opt]
+        self.loss_w = [list(w) for w in loss_weight]
+        self.loss_fn = []
+        for i, opts in enumerate(self.loss_opt):
+            fns = []
+            for j, lopt in enumerate(opts):
+                params = None
+                if loss_kwargs is not None and loss_kwargs[i] is not None:
+                    params = loss_kwargs[i][j]
+                fns.append(self.loss_dict[lopt](**(params or {})))
+            self.loss_fn.append(fns)
+        self.act = [[get_functional_act(a) for a in acts] for acts in output_act]
+        self.regu_opt = list(regu_opt) if regu_opt else []
+        self.regu_fn = [self.regu_dict[r]() for r in self.regu_opt]
+        self.regu_t = [list(t) for t in (regu_target or [])]
+        self.regu_w = list(regu_weight or [])
+
+    def evaluate(self, pred, target, weight, key=None,
+                 losses_vis=None) -> Tuple[jnp.ndarray, Dict]:
+        losses_vis = {} if losses_vis is None else losses_vis
+        x = self.splitter(pred)
+        loss = 0.0
+        for i in range(len(self.target_opt)):
+            for j in range(len(self.loss_fn[i])):
+                w_mask = None
+                if weight is not None and weight[i][j] is not None:
+                    wm = jnp.asarray(weight[i][j])
+                    if wm.shape[-1] != 1:
+                        w_mask = wm
+                term = self.loss_w[i][j] * self.loss_fn[i][j](
+                    self.act[i][j](x[i]), jnp.asarray(target[i]),
+                    weight_mask=w_mask)
+                loss = loss + term
+                tag = f"{self.target_opt[i]}_{self.loss_opt[i][j]}_{i}"
+                if key is not None:
+                    tag += f"_{key}"
+                losses_vis[tag] = term
+        for i, rfn in enumerate(self.regu_fn):
+            inputs = [x[j] for j in self.regu_t[i]]
+            term = self.regu_w[i] * rfn(*inputs)
+            loss = loss + term
+            names = "_".join(self.target_opt[j] for j in self.regu_t[i])
+            tag = f"{names}_{self.regu_opt[i]}_{i}"
+            if key is not None:
+                tag += f"_{key}"
+            losses_vis[tag] = term
+        return loss, losses_vis
+
+    def __call__(self, pred, target, weight=None):
+        if isinstance(pred, dict):  # DeepLab-style {"out", "aux"} dict
+            loss, losses_vis = 0.0, {}
+            for key in pred:
+                t, losses_vis = self.evaluate(pred[key], target, weight, key,
+                                              losses_vis)
+                loss = loss + t
+            return loss, losses_vis
+        return self.evaluate(pred, target, weight)
+
+    @classmethod
+    def build_from_cfg(cls, cfg, channel_axis: int = 1):
+        """criterion.py:191-218 (device arg dropped — jit owns placement)."""
+        loss_kwargs = None
+        if getattr(cfg.MODEL, "LOSS_KWARGS_KEY", None):
+            keys, vals = cfg.MODEL.LOSS_KWARGS_KEY, cfg.MODEL.LOSS_KWARGS_VAL
+            loss_kwargs = [
+                [dict(zip(k, v)) if k else None for k, v in zip(ks, vs)]
+                if ks else None for ks, vs in zip(keys, vals)
+            ]
+        return cls(cfg.MODEL.TARGET_OPT, cfg.MODEL.LOSS_OPTION,
+                   cfg.MODEL.OUTPUT_ACT, cfg.MODEL.LOSS_WEIGHT, loss_kwargs,
+                   getattr(cfg.MODEL, "REGU_OPT", None),
+                   getattr(cfg.MODEL, "REGU_TARGET", None),
+                   getattr(cfg.MODEL, "REGU_WEIGHT", None),
+                   do_2d=cfg.DATASET.DO_2D, channel_axis=channel_axis)

@@ -38,6 +38,17 @@ class ModelConfig:
     head_norm: str = "SyncBN"      # FPN + seg-head norm
     stride_in_1x1: bool = False
     enc_points: int = 4
+    # Component selection (reference registries: MODEL.BACKBONE.NAME,
+    # MODEL.SEM_SEG_HEAD.PIXEL_DECODER_NAME).  The trained configs use the
+    # defaults; D2SwinTransformer / BasePixelDecoder /
+    # TransformerEncoderPixelDecoder are the registered alternatives.
+    backbone_name: str = "build_resnet_backbone"
+    pixel_decoder_name: str = "MSDeformAttnPixelDecoder"
+    swin_embed_dim: int = 96
+    swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
+    swin_num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    swin_window_size: int = 7
+    swin_drop_path: float = 0.3
     # Rematerialize encoder/decoder layers in the backward pass (HBM for
     # FLOPs: without it the 448^2 batch-2 train step needs ~18G of 16G HBM).
     remat: bool = True
@@ -55,6 +66,16 @@ def build_model_config(cfg) -> ModelConfig:
     """Extract a ModelConfig from a YACS-style config tree."""
     mf = cfg.MODEL.MASK_FORMER
     sh = cfg.MODEL.SEM_SEG_HEAD
+    sw = cfg.MODEL.get("SWIN", None)
+    swin_kwargs = {}
+    if sw is not None:
+        swin_kwargs = dict(
+            swin_embed_dim=sw.EMBED_DIM,
+            swin_depths=tuple(sw.DEPTHS),
+            swin_num_heads=tuple(sw.NUM_HEADS),
+            swin_window_size=sw.WINDOW_SIZE,
+            swin_drop_path=sw.DROP_PATH_RATE,
+        )
     return ModelConfig(
         hidden_dim=mf.HIDDEN_DIM,
         conv_dim=sh.CONVS_DIM,
@@ -71,7 +92,10 @@ def build_model_config(cfg) -> ModelConfig:
         backbone_norm=cfg.MODEL.RESNETS.NORM,
         head_norm=sh.NORM,
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        backbone_name=cfg.MODEL.BACKBONE.NAME,
+        pixel_decoder_name=sh.PIXEL_DECODER_NAME,
         dtype="bfloat16" if cfg.MODEL.MIXED_PRECESION else "float32",
+        **swin_kwargs,
     )
 
 
@@ -97,29 +121,67 @@ class PCTransModel(nn.Module):
     def __call__(self, images: jnp.ndarray) -> Dict[str, Any]:
         c = self.config
         dtype = jnp.dtype(c.dtype)
-        feats = ResNet(
-            depth=c.backbone_depth,
-            stride_in_1x1=c.stride_in_1x1,
-            norm=c.backbone_norm,
-            train=self.train,
-            axis_name=self.axis_name,
-            dtype=dtype,
-            name="backbone",
-        )(images.astype(dtype))
+        if c.backbone_name == "D2SwinTransformer":
+            from .swin import SwinTransformer
 
-        mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
-            conv_dim=c.conv_dim,
-            mask_dim=c.mask_dim,
-            norm=c.head_norm,
-            transformer_layers=c.enc_layers,
-            n_heads=c.nheads,
-            n_points=c.enc_points,
-            train=self.train,
-            axis_name=self.axis_name,
-            dtype=dtype,
-            remat=c.remat,
-            name="pixel_decoder",
-        )(feats)
+            feats = SwinTransformer(
+                embed_dim=c.swin_embed_dim,
+                depths=c.swin_depths,
+                num_heads=c.swin_num_heads,
+                window_size=c.swin_window_size,
+                drop_path_rate=c.swin_drop_path,
+                train=self.train,
+                dtype=dtype,
+                name="backbone",
+            )(images.astype(dtype))
+        else:  # 'build_resnet_backbone' (the trained recipe)
+            feats = ResNet(
+                depth=c.backbone_depth,
+                stride_in_1x1=c.stride_in_1x1,
+                norm=c.backbone_norm,
+                train=self.train,
+                axis_name=self.axis_name,
+                dtype=dtype,
+                name="backbone",
+            )(images.astype(dtype))
+
+        if c.pixel_decoder_name == "MSDeformAttnPixelDecoder":
+            mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+                conv_dim=c.conv_dim,
+                mask_dim=c.mask_dim,
+                norm=c.head_norm,
+                transformer_layers=c.enc_layers,
+                n_heads=c.nheads,
+                n_points=c.enc_points,
+                train=self.train,
+                axis_name=self.axis_name,
+                dtype=dtype,
+                remat=c.remat,
+                name="pixel_decoder",
+            )(feats)
+        else:
+            from .fpn_decoder import BasePixelDecoder, TransformerEncoderPixelDecoder
+
+            if c.pixel_decoder_name == "BasePixelDecoder":
+                decoder = BasePixelDecoder(
+                    conv_dim=c.conv_dim, mask_dim=c.mask_dim, norm=c.head_norm,
+                    train=self.train, axis_name=self.axis_name, dtype=dtype,
+                    name="pixel_decoder")
+            elif c.pixel_decoder_name == "TransformerEncoderPixelDecoder":
+                decoder = TransformerEncoderPixelDecoder(
+                    conv_dim=c.conv_dim, mask_dim=c.mask_dim, norm=c.head_norm,
+                    nheads=c.nheads, d_ffn=c.dim_feedforward,
+                    transformer_enc_layers=c.enc_layers, train=self.train,
+                    axis_name=self.axis_name, dtype=dtype,
+                    name="pixel_decoder")
+            else:
+                raise ValueError(
+                    f"Unknown pixel decoder: {c.pixel_decoder_name}")
+            mask_features, _, multi_scale = decoder(feats)
+            # FPN decoders emit multi-scale maps at conv_dim but the PCTrans
+            # transformer decoder's mask head needs mask_dim features; both
+            # contracts match the reference (MaskFormerHead feeds
+            # (multi_scale, mask_features) either way).
 
         out = MultiScaleMaskedTransformerDecoder(
             hidden_dim=c.hidden_dim,

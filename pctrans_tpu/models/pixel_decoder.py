@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.msdeform import ms_deform_attn_core
+from ..ops.msdeform import ms_deform_attn
 from ..ops.resize import resize_bilinear
 from .layers import ConvNorm, get_norm, position_embedding_sine
 
@@ -96,7 +96,7 @@ class MSDeformAttn(nn.Module):
             reference_points[:, :, None, :, None, :].astype(jnp.float32)
             + offsets / normalizer[None, None, None, :, None, :]
         )
-        out = ms_deform_attn_core(value, spatial_shapes, locations, attn)
+        out = ms_deform_attn(value, spatial_shapes, locations, attn)
         return nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
                         name="output_proj")(out)
 

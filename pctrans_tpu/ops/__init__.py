@@ -10,5 +10,5 @@ solver (ops/lap.py); PointRend-style point sampling is ops/point_sample.py.
 
 from .point_sample import grid_sample_bilinear, point_sample, get_uncertain_point_coords
 from .lap import linear_sum_assignment
-from .msdeform import ms_deform_attn_core
+from .msdeform import ms_deform_attn, ms_deform_attn_core
 from .resize import resize_bilinear, resize_nearest_torch

@@ -37,10 +37,47 @@ reference's atomicAdd-based CUDA backward is deterministic.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+import os
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Implementation dispatcher (the model-facing entry point).
+
+    ``impl`` (or ``$PCTRANS_MSDA_IMPL``): ``matmul`` | ``pallas`` |
+    ``separable`` | ``gather`` | ``reference`` | ``auto``.
+
+    ``auto`` picks the XLA hat-matmul everywhere — measured fastest on a
+    v5e at both the train and eval encoder shapes (tools_dev/bench_msda.py,
+    fwd ms/layer-call: matmul 1.4/12.5, pallas kernel 4.9/31, separable
+    5.1/36, patch gather 7.4/56).  The Pallas kernel (msdeform_pallas.py)
+    is validated and kept selectable; XLA's fusion of the rank-1 hat
+    generator into the MXU tiling is the thing to beat, and so far it wins.
+    """
+    impl = impl or os.environ.get("PCTRANS_MSDA_IMPL", "auto")
+    if impl == "auto":
+        impl = "matmul"
+    if impl == "pallas":
+        from .msdeform_pallas import ms_deform_attn_core_pallas
+
+        return ms_deform_attn_core_pallas(
+            value, tuple(spatial_shapes), sampling_locations, attention_weights)
+    fn = {
+        "matmul": ms_deform_attn_core,
+        "separable": ms_deform_attn_core_separable,
+        "gather": ms_deform_attn_core_gather,
+        "reference": ms_deform_attn_core_reference,
+    }[impl]
+    return fn(value, spatial_shapes, sampling_locations, attention_weights)
 
 
 def ms_deform_attn_core(
@@ -128,6 +165,86 @@ def ms_deform_attn_core(
 
         _, ys = jax.lax.scan(body, None, (xch, ych, wch))
         # [n_chunks, B, M, NP, D] -> sum over P -> [B, Lp, M, D]
+        ys = ys.reshape(n_chunks, B, M, CH, P, D).sum(4)
+        out = out + jnp.transpose(ys, (1, 0, 3, 2, 4)).reshape(B, Lp, M, D)
+        start += H * W
+    return out[:, :Lq].reshape(B, Lq, M * D).astype(value.dtype)
+
+
+def ms_deform_attn_core_separable(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """Two-stage separable hat contraction — MXU at full width.
+
+    The fused-generator path (:func:`ms_deform_attn_core`) runs its dot with
+    free dimension D = 16 per head, using 16/128 of the MXU's output tile.
+    Splitting bilinear interpolation into its separable factors fixes that:
+
+      stage 1 (MXU):  T[n, h, :] = hat_x[n, :] @ V[:, h, :]
+                      — contraction over W with free dims H*D (~900): lhs
+                      rows are (query, point) pairs, RHS is the value map
+                      transposed to [W, H*D].
+      stage 2 (VPU):  out[q] = sum_{p, h} w_p * hat_y[q, p, h] * T[qp, h, :]
+
+    Same FLOP count as the 4-corner sum, ~8x better MXU occupancy than the
+    fused generator at D=16.  Numerics identical (exact bilinear hats).
+    """
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    assert S == sum(h * w for h, w in spatial_shapes)
+
+    cdt = jnp.promote_types(value.dtype, jnp.float32)
+    vdt = value.dtype
+
+    CH = max(1, min(chunk, Lq))
+    n_chunks = -(-Lq // CH)
+    Lp = n_chunks * CH
+    pad_q = Lp - Lq
+    NP = CH * P
+
+    locs = sampling_locations.astype(cdt)
+    wts = attention_weights.astype(cdt)
+    if pad_q:
+        locs = jnp.pad(locs, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0), (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0)))
+    locs = jnp.transpose(locs, (3, 0, 2, 1, 4, 5))      # [L, B, M, Lp, P, 2]
+    wts = jnp.transpose(wts, (3, 0, 2, 1, 4))           # [L, B, M, Lp, P]
+
+    out = jnp.zeros((B, Lp, M, D), dtype=cdt)
+    start = 0
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = value[:, start : start + H * W]             # [B, HW, M, D]
+        # [B, M, W, H*D] — stage-1 RHS
+        vT = jnp.transpose(v.reshape(B, H, W, M, D), (0, 3, 2, 1, 4))
+        vT = vT.reshape(B, M, W, H * D).astype(vdt)
+        x = locs[lid, ..., 0] * W - 0.5                 # [B, M, Lp, P]
+        y = locs[lid, ..., 1] * H - 0.5
+        w = wts[lid]
+        xch = x.reshape(B, M, n_chunks, NP).transpose(2, 0, 1, 3)
+        ych = y.reshape(B, M, n_chunks, NP).transpose(2, 0, 1, 3)
+        wch = w.reshape(B, M, n_chunks, NP).transpose(2, 0, 1, 3)
+        sy = jnp.arange(H, dtype=cdt)
+        sx = jnp.arange(W, dtype=cdt)
+
+        @jax.checkpoint
+        def body(carry, xs, vT=vT, sy=sy, sx=sx, H=H, W=W):
+            xc, yc, wc = xs                             # [B, M, NP]
+            hx = jax.nn.relu(1.0 - jnp.abs(xc[..., None] - sx)).astype(vdt)
+            t = jax.lax.dot_general(                     # [B, M, NP, H*D]
+                hx, vT,
+                dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=cdt,
+            ).reshape(*xc.shape, H, D)
+            hy = jax.nn.relu(1.0 - jnp.abs(yc[..., None] - sy)) * wc[..., None]
+            o = jnp.einsum("bmnh,bmnhd->bmnd", hy, t.astype(cdt))
+            return carry, o                              # [B, M, NP, D]
+
+        _, ys = jax.lax.scan(body, None, (xch, ych, wch))
         ys = ys.reshape(n_chunks, B, M, CH, P, D).sum(4)
         out = out + jnp.transpose(ys, (1, 0, 3, 2, 4)).reshape(B, Lp, M, D)
         start += H * W

@@ -190,7 +190,7 @@ class TestMSDeformAttn:
         )
         np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-12)
 
-    @pytest.mark.parametrize("which", ["hat", "gather"])
+    @pytest.mark.parametrize("which", ["hat", "separable", "gather"])
     def test_tpu_formulations_match_reference(self, rng, which):
         """Both TPU paths (hat-matmul production, patch-row gather) == the
         plain 4-corner gather path, values and gradients."""
@@ -199,7 +199,10 @@ class TestMSDeformAttn:
             ms_deform_attn_core_reference,
         )
 
-        core = ms_deform_attn_core if which == "hat" else ms_deform_attn_core_gather
+        from pctrans_tpu.ops.msdeform import ms_deform_attn_core_separable
+
+        core = {"hat": ms_deform_attn_core, "separable": ms_deform_attn_core_separable,
+                "gather": ms_deform_attn_core_gather}[which]
         value, shapes, locs, attn = self._random_inputs(rng)
 
         prod = np.asarray(core(jnp.array(value), shapes,
@@ -255,3 +258,69 @@ def msda_torch_differentiable(value, spatial_shapes, locs, attn):
         out = out + (s * attn[:, :, :, lid, :, None]).sum(dim=3)
         start += H * W
     return out.reshape(B, Lq, M * D)
+
+
+class TestMSDeformAttnPallas:
+    """Pallas TPU kernel vs the torch oracle and the JAX reference path
+    (reference harness style: pixel_decoder/ops/test.py:35-92).  Runs in
+    interpret mode on CPU, compiled on real TPU."""
+
+    def _random_inputs(self, rng, B=2, M=4, D=8, Lq=7, P=4):
+        shapes = [(6, 8), (3, 4), (2, 2)]
+        S = sum(h * w for h, w in shapes)
+        L = len(shapes)
+        value = rng.randn(B, S, M, D).astype(np.float32)
+        locs = rng.rand(B, Lq, M, L, P, 2).astype(np.float32) * 1.2 - 0.1
+        attn = rng.rand(B, Lq, M, L, P).astype(np.float32)
+        attn = attn / attn.sum(axis=(3, 4), keepdims=True)
+        return value, shapes, locs, attn
+
+    def test_matches_torch_oracle(self, rng):
+        from pctrans_tpu.ops.msdeform_pallas import ms_deform_attn_core_pallas
+
+        value, shapes, locs, attn = self._random_inputs(rng)
+        ours = np.asarray(
+            ms_deform_attn_core_pallas(jnp.array(value), tuple(shapes),
+                                       jnp.array(locs), jnp.array(attn)))
+        ref = msda_torch_oracle(value, shapes, locs, attn)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_query_chunk_padding(self, rng):
+        """Lq deliberately not a multiple of the chunk size."""
+        from pctrans_tpu.ops.msdeform_pallas import ms_deform_attn_core_pallas
+
+        value, shapes, locs, attn = self._random_inputs(rng, Lq=13)
+        ours = np.asarray(
+            ms_deform_attn_core_pallas(jnp.array(value), tuple(shapes),
+                                       jnp.array(locs), jnp.array(attn),
+                                       chunk=8))
+        ref = msda_torch_oracle(value, shapes, locs, attn)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match_reference_path(self, rng):
+        from pctrans_tpu.ops.msdeform import ms_deform_attn_core_reference
+        from pctrans_tpu.ops.msdeform_pallas import ms_deform_attn_core_pallas
+
+        value, shapes, locs, attn = self._random_inputs(rng, B=1, M=2, D=4, Lq=5)
+
+        def loss(core, v, l, a):
+            return (core(v, tuple(shapes), l, a) ** 2).sum()
+
+        g1 = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_pallas, v, l, a),
+                      (0, 1, 2))(jnp.array(value), jnp.array(locs), jnp.array(attn))
+        g2 = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_reference, v, l, a),
+                      (0, 1, 2))(jnp.array(value), jnp.array(locs), jnp.array(attn))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_dispatcher(self, rng):
+        from pctrans_tpu.ops.msdeform import ms_deform_attn
+
+        value, shapes, locs, attn = self._random_inputs(rng)
+        ref = msda_torch_oracle(value, shapes, locs, attn)
+        for impl in ("pallas", "matmul", "gather", "reference", "auto"):
+            out = np.asarray(ms_deform_attn(jnp.array(value), shapes,
+                                            jnp.array(locs), jnp.array(attn),
+                                            impl=impl))
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
