@@ -211,6 +211,7 @@ def get_cfg_defaults() -> CfgNode:
     c.MONITOR.LOG_OPT = [1, 1, 0]
     c.MONITOR.VIS_OPT = [0, 8]
     c.MONITOR.ITERATION_NUM = [20, 200]
+    c.MONITOR.PROFILE_ITERS = None   # (start, stop) iteration window for a jax.profiler trace
 
     # --------------------------------------------------------------- INFERENCE
     c.INFERENCE = CfgNode()

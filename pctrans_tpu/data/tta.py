@@ -26,10 +26,9 @@ class TestAugmentor:
         assert mode in ("mean", "min", "max")
         assert num_aug in (2, 4, 8, 16)
         self.mode = mode
-        # 16 variants add the z-flip and exist only for volumes (reference
-        # test_augmentor.py: "applied to 2D outputs without the z-flip") —
-        # in 2D only 8 spatial variants are distinct.
-        self.num_aug = min(num_aug, 8)
+        # 16 variants add the z-flip (volumes only; for 2D inputs the z-flip
+        # duplicates each spatial variant, so __call__ folds 16 -> 8 there).
+        self.num_aug = num_aug
 
     @classmethod
     def build_from_cfg(cls, cfg, activation: bool = False):
@@ -39,26 +38,36 @@ class TestAugmentor:
             mode = "mean"
         return cls(mode=mode, num_aug=int(num))
 
-    def _variants(self):
+    def _variants(self, volumetric: bool):
+        n_spatial = min(self.num_aug, 8)
         out = []
-        for fy, fx in _FLIPS_4[: max(self.num_aug, 2)]:
-            out.append((fy, fx, False))
-        if self.num_aug == 8:
+        for fy, fx in _FLIPS_4[: max(n_spatial, 2)]:
+            out.append((False, fy, fx, False))
+        if n_spatial == 8:
             for fy, fx in _FLIPS_4:
-                out.append((fy, fx, True))
-        return out[: self.num_aug]
+                out.append((False, fy, fx, True))
+        out = out[:n_spatial]
+        if self.num_aug == 16 and volumetric:
+            out = out + [(True, fy, fx, tr) for (_, fy, fx, tr) in out]
+        return out
 
     def __call__(self, forward: Callable[[np.ndarray], np.ndarray], images: np.ndarray) -> np.ndarray:
-        """images: [B, H, W, C]; forward returns [B, ..., H', W']."""
+        """images: [B, H, W, C] or volumetric [B, D, H, W, C]; forward
+        returns [B, ..., H', W'] (trailing two axes spatial, z at -3 for
+        volumes)."""
+        volumetric = images.ndim == 5
+        sp = (2, 3) if volumetric else (1, 2)  # spatial axes of the input
         preds: List[np.ndarray] = []
-        for fy, fx, tr in self._variants():
+        for fz, fy, fx, tr in self._variants(volumetric):
             x = images
+            if fz:
+                x = np.flip(x, 1)
             if fy:
-                x = x[:, ::-1]
+                x = np.flip(x, sp[0])
             if fx:
-                x = x[:, :, ::-1]
+                x = np.flip(x, sp[1])
             if tr:
-                x = np.swapaxes(x, 1, 2)
+                x = np.swapaxes(x, sp[0], sp[1])
             y = np.asarray(forward(np.ascontiguousarray(x)))
             if tr:
                 y = np.swapaxes(y, -1, -2)
@@ -66,6 +75,8 @@ class TestAugmentor:
                 y = y[..., ::-1]
             if fy:
                 y = y[..., ::-1, :]
+            if fz:
+                y = np.flip(y, -3)
             preds.append(y)
         stack = np.stack(preds)
         if self.mode == "mean":

@@ -159,6 +159,8 @@ class Trainer:
         t0 = time.perf_counter()
         val_every = int(cfg.SOLVER.get("ITERATION_VAL", 0) or 0)
         for it in range(self.start_iter, self.total_iters):
+            if hasattr(self, "monitor"):
+                self.monitor.profile_steps(it)  # jax.profiler trace window
             batch_np = next(self.train_loader)
             batch = shard_batch(self.mesh, {
                 "image": batch_np["image"].astype(np.float32),
@@ -207,10 +209,31 @@ class Trainer:
             primary = res["SBD"]
         if hasattr(self, "monitor"):
             self.monitor.add_eval(iteration, res)
+            self._visualize_val(iteration)
         if primary > self.best_val:
             self.best_val = primary
             ckpt.save_checkpoint(self.output_dir, self.state, iteration, is_best=True)
         return res
+
+    def _visualize_val(self, iteration: int) -> None:
+        """Log one validation batch's (image, GT, prediction) panels
+        (reference Visualizer, utils/visualizer.py:15-192)."""
+        try:
+            from ..utils.visualizer import Visualizer
+
+            batch = next(iter(self._val_loader))
+            thr = 0.05 if self.cfg.DATASET.DATA_TYPE == "BBBC" else 0.69
+            probs = self.predict_probs(batch["image"], threshold=thr)
+            fn = (instance_inference_bbbc
+                  if self.cfg.DATASET.DATA_TYPE == "BBBC"
+                  else instance_inference_cvppp)
+            n = min(2, int(batch.get("_num_valid", probs.shape[0])))
+            preds = np.stack([fn(probs[b]).astype(np.int32) for b in range(n)])
+            labels = batch["label"][:n] if "label" in batch else None
+            vis = Visualizer(self.output_dir, tb_writer=self.monitor.tb)
+            vis.visualize(iteration, batch["image"][:n], labels, preds)
+        except Exception as e:  # visualization must never kill training
+            print(f"[visualizer] skipped: {type(e).__name__}: {e}")
 
     def save_swa_checkpoint(self) -> str:
         """Checkpoint the SWA-averaged parameters (reference trainer.py:666-684),

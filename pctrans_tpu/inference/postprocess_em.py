@@ -1,0 +1,218 @@
+"""Legacy EM post-processing: probability maps -> instance masks.
+
+Equivalent of the reference watershed/connected-component zoo
+(connectomics/utils/process.py): ``binary_connected``:191,
+``binary_watershed``:217, ``bc_connected``:252, ``bc_watershed``:290,
+``bcd_watershed``:335 and ``polarity2instance``:386.  Inputs are
+``(C, Z, Y, X)`` uint8 probability volumes scaled to [0, 255], matching the
+reference's ``int(255*thres)`` thresholding.
+
+skimage is not in this image, so the marker-based watershed is implemented
+here as a bucket-queue flood (:func:`watershed`): intensity levels descend
+from high to low semantic probability; at each level labels expand into
+connected unlabeled mask voxels (plateaus flood breadth-first via repeated
+neighborhood dilation).  Ties between adjacent basins resolve to the larger
+label id — watershed tie-breaking is implementation-defined in skimage too.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+
+def cast2dtype(segm: np.ndarray) -> np.ndarray:
+    """Cast a label volume to the smallest sufficient unsigned dtype
+    (process.py cast2dtype)."""
+    mx = segm.max() if segm.size else 0
+    for dt in (np.uint8, np.uint16, np.uint32):
+        if mx <= np.iinfo(dt).max:
+            return segm.astype(dt)
+    return segm.astype(np.uint64)
+
+
+def remove_small_objects(segm: np.ndarray, min_size: int) -> np.ndarray:
+    """Zero out connected instances smaller than ``min_size`` voxels."""
+    if min_size <= 0:
+        return segm
+    counts = np.bincount(segm.ravel())
+    small = np.where(counts < min_size)[0]
+    out = segm.copy()
+    out[np.isin(out, small[small > 0])] = 0
+    return out
+
+
+def remove_small_instances(segm: np.ndarray, thres_small: int,
+                           mode: str = "background") -> np.ndarray:
+    """process.py remove_small_instances: drop (or reassign) small instances.
+
+    ``background``: set to 0; ``neighbor``: absorb into the most frequent
+    adjacent instance; ``none``: keep everything."""
+    if mode == "none" or thres_small <= 0:
+        return segm
+    if mode == "background":
+        return remove_small_objects(segm, thres_small)
+    assert mode == "neighbor"
+    counts = np.bincount(segm.ravel())
+    out = segm.copy()
+    for idx in np.where(counts < thres_small)[0]:
+        if idx == 0 or counts[idx] == 0:
+            continue
+        region = out == idx
+        ring = ndimage.binary_dilation(region) & ~region
+        neigh = out[ring]
+        neigh = neigh[neigh != idx]
+        target = np.bincount(neigh).argmax() if neigh.size else 0
+        out[region] = target
+    return out
+
+
+def watershed(neg_image: np.ndarray, markers: np.ndarray,
+              mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """Marker-based watershed on ``neg_image`` (lower floods first), the
+    call signature of ``skimage.segmentation.watershed`` as used by
+    process.py (always ``watershed(-semantic, seed, mask=foreground)``)."""
+    if mask is None:
+        mask = np.ones(neg_image.shape, bool)
+    labels = np.where(mask, markers, 0).astype(np.int32)
+    # quantize flood levels: ascend neg_image = descend semantic
+    q = neg_image
+    if not np.issubdtype(q.dtype, np.integer):
+        finite = q[np.isfinite(q)]
+        if finite.size == 0:
+            return labels
+        lo, hi = float(finite.min()), float(finite.max())
+        q = np.clip(((q - lo) / (hi - lo + 1e-12) * 255), 0, 255).astype(np.int32)
+    levels = np.unique(q[mask])
+    for level in levels:
+        active = mask & (q <= level)
+        # flood this level's plateau until stable
+        while True:
+            neighbor_max = ndimage.grey_dilation(
+                labels, size=(3,) * labels.ndim)
+            new = (labels == 0) & active & (neighbor_max > 0)
+            if not new.any():
+                break
+            labels[new] = neighbor_max[new]
+    return labels
+
+
+def _maybe_rescale(segm: np.ndarray, scale_factors: Tuple[float, ...]) -> np.ndarray:
+    if all(s == 1.0 for s in scale_factors):
+        return segm
+    return ndimage.zoom(segm, scale_factors, order=0)
+
+
+def binary_connected(volume, thres=0.8, thres_small=128,
+                     scale_factors=(1.0, 1.0, 1.0),
+                     remove_small_mode="background"):
+    """Foreground probability -> instances by connected components
+    (process.py:191-215)."""
+    semantic = volume[0]
+    foreground = semantic > int(255 * thres)
+    segm, _ = ndimage.label(foreground)
+    segm = remove_small_instances(segm, thres_small, remove_small_mode)
+    return cast2dtype(_maybe_rescale(segm, scale_factors))
+
+
+def binary_watershed(volume, thres1=0.98, thres2=0.85, thres_small=128,
+                     scale_factors=(1.0, 1.0, 1.0),
+                     remove_small_mode="background", seed_thres=32):
+    """Foreground probability -> instances by seeded watershed
+    (process.py:217-249)."""
+    semantic = volume[0]
+    seed_map = semantic > int(255 * thres1)
+    foreground = semantic > int(255 * thres2)
+    seed, _ = ndimage.label(seed_map)
+    seed = remove_small_objects(seed, seed_thres)
+    segm = watershed(-semantic.astype(np.float64), seed, mask=foreground)
+    segm = remove_small_instances(segm, thres_small, remove_small_mode)
+    return cast2dtype(_maybe_rescale(segm, scale_factors))
+
+
+def bc_connected(volume, thres1=0.8, thres2=0.5, thres_small=128,
+                 scale_factors=(1.0, 1.0, 1.0), dilation_struct=(1, 5, 5),
+                 remove_small_mode="background"):
+    """Foreground + contour -> instances by connected components with
+    morphological dilation (process.py:252-287)."""
+    semantic, boundary = volume[0], volume[1]
+    foreground = (semantic > int(255 * thres1)) & (boundary < int(255 * thres2))
+    segm, _ = ndimage.label(foreground)
+    segm = ndimage.grey_dilation(segm, size=dilation_struct)
+    segm = remove_small_instances(segm, thres_small, remove_small_mode)
+    return cast2dtype(_maybe_rescale(segm, scale_factors))
+
+
+def bc_watershed(volume, thres1=0.9, thres2=0.8, thres3=0.85, thres_small=128,
+                 scale_factors=(1.0, 1.0, 1.0),
+                 remove_small_mode="background", seed_thres=32,
+                 return_seed=False, precomputed_seed=None):
+    """Foreground + contour -> instances by seeded watershed
+    (process.py:290-333)."""
+    assert volume.shape[0] == 2
+    semantic, boundary = volume[0], volume[1]
+    foreground = semantic > int(255 * thres3)
+    if precomputed_seed is not None:
+        seed = precomputed_seed
+    else:
+        seed_map = (semantic > int(255 * thres1)) & (boundary < int(255 * thres2))
+        seed, _ = ndimage.label(seed_map)
+        seed = remove_small_objects(seed, seed_thres)
+    segm = watershed(-semantic.astype(np.float64), seed, mask=foreground)
+    segm = remove_small_instances(segm, thres_small, remove_small_mode)
+    segm = cast2dtype(_maybe_rescale(segm, scale_factors))
+    return (segm, seed) if return_seed else segm
+
+
+def bcd_watershed(volume, thres1=0.9, thres2=0.8, thres3=0.85, thres4=0.5,
+                  thres5=0.0, thres_small=128, scale_factors=(1.0, 1.0, 1.0),
+                  remove_small_mode="background", seed_thres=32,
+                  return_seed=False, precomputed_seed=None):
+    """Foreground + contour + signed EDT -> instances by seeded watershed
+    (process.py:335-383)."""
+    assert volume.shape[0] == 3
+    semantic, boundary, distance = volume[0], volume[1], volume[2]
+    distance = (distance / 255.0) * 2.0 - 1.0
+    foreground = (semantic > int(255 * thres3)) & (distance > thres5)
+    if precomputed_seed is not None:
+        seed = precomputed_seed
+    else:
+        seed_map = ((semantic > int(255 * thres1))
+                    & (boundary < int(255 * thres2)) & (distance > thres4))
+        seed, _ = ndimage.label(seed_map)
+        seed = remove_small_objects(seed, seed_thres)
+    segm = watershed(-semantic.astype(np.float64), seed, mask=foreground)
+    segm = remove_small_instances(segm, thres_small, remove_small_mode)
+    segm = cast2dtype(_maybe_rescale(segm, scale_factors))
+    return (segm, seed) if return_seed else segm
+
+
+def polarity2instance(volume, thres=0.5, thres_small=128,
+                      scale_factors=(1.0, 1.0, 1.0), semantic=False,
+                      dilate_sz=5):
+    """Synaptic polarity (pre, post, union) -> instances or semantic classes
+    (process.py:386+): threshold the union channel, dilate it, connected-
+    component the union, and split each synapse into its pre (2k-1) / post
+    (2k) parts; ``semantic=True`` returns {0, 1, 2} classes instead."""
+    pre = volume[0] > int(255 * thres)
+    post = volume[1] > int(255 * thres)
+    union = volume[2] > int(255 * thres)
+    union = ndimage.binary_dilation(
+        union, structure=np.ones((1, dilate_sz, dilate_sz), bool))
+    pre, post = pre & union, post & union
+
+    if semantic:
+        seg = np.zeros(pre.shape, np.uint8)
+        seg[pre] = 1
+        seg[post] = 2
+        return cast2dtype(_maybe_rescale(seg, scale_factors))
+
+    synapses, n = ndimage.label(union)
+    synapses = remove_small_objects(synapses, thres_small)
+    seg = np.zeros(pre.shape, np.int64)
+    seg[pre] = synapses[pre] * 2 - 1
+    seg[post] = synapses[post] * 2
+    seg[seg < 0] = 0
+    return cast2dtype(_maybe_rescale(seg, scale_factors))

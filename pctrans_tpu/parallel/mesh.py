@@ -14,6 +14,7 @@ feeds ``jax.make_array_from_process_local_data``.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -21,8 +22,41 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: ``jax.distributed.initialize`` rendezvous.
+
+    The TPU-native analogue of the reference's process-group init
+    (connectomics/utils/system.py:53-84, ``dist.init_process_group('nccl',
+    init_method='env://')``): arguments fall back to the same env:// style
+    variables (``COORDINATOR_ADDRESS``/``MASTER_ADDR:MASTER_PORT``,
+    ``NUM_PROCESSES``/``WORLD_SIZE``, ``PROCESS_ID``/``RANK``).  On real TPU
+    pods all three are auto-detected and may be None.  Returns the process
+    index; no-op (returns 0) when no multi-process env is configured.
+    """
+    env = os.environ
+    coordinator = coordinator or env.get("COORDINATOR_ADDRESS") or (
+        f"{env['MASTER_ADDR']}:{env['MASTER_PORT']}"
+        if "MASTER_ADDR" in env and "MASTER_PORT" in env else None)
+    if num_processes is None:
+        n = env.get("NUM_PROCESSES") or env.get("WORLD_SIZE")
+        num_processes = int(n) if n else None
+    if process_id is None:
+        r = env.get("PROCESS_ID") or env.get("RANK")
+        process_id = int(r) if r else (0 if r == "0" else None)
+    if coordinator is None and num_processes is None:
+        return 0  # single-process run; nothing to rendezvous
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
 def create_mesh(n_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
-    devices = np.asarray(jax.devices())
+    devices = np.asarray(jax.devices())  # all processes' devices (global)
     if n_devices is not None:
         devices = devices[:n_devices]
     data_axis = len(devices) // model_axis
@@ -34,8 +68,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (dict of arrays, leading batch axis) on the mesh."""
+    """Place a host batch (dict of arrays, leading batch axis) on the mesh.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process: each host
+    contributes its process-local shard of the global batch via
+    ``jax.make_array_from_process_local_data`` (the per-host data-loading
+    analogue of the reference's ``DistributedSampler``,
+    data/dataset/build.py:392-395)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 

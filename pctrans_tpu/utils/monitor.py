@@ -5,6 +5,11 @@ Equivalent of the reference Monitor/Logger (connectomics/utils/monitor.py:
 into the run directory, periodic console summaries with timing/ETA.
 TensorBoard is used when available (torch ships it); the JSONL stream is the
 always-on machine-readable record.
+
+Profiling: the reference had wall-clock timing only (SURVEY.md section 5);
+here :meth:`Monitor.profile_steps` captures a ``jax.profiler`` device trace
+(viewable in TensorBoard / Perfetto) for a chosen iteration window, driven
+by ``MONITOR.PROFILE_ITERS``.
 """
 
 from __future__ import annotations
@@ -16,7 +21,9 @@ from typing import Dict, Optional
 
 
 class Monitor:
-    def __init__(self, output_dir: str, log_every: int = 20, use_tensorboard: bool = True):
+    def __init__(self, output_dir: str, log_every: int = 20,
+                 use_tensorboard: bool = True,
+                 profile_iters: Optional[tuple] = None):
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
         self.log_every = max(1, log_every)
@@ -29,8 +36,28 @@ class Monitor:
                 self.tb = SummaryWriter(log_dir=os.path.join(output_dir, "tb"))
             except Exception:
                 self.tb = None
+        # (start_iter, stop_iter) window for a jax.profiler trace
+        self.profile_iters = tuple(profile_iters) if profile_iters else None
+        self._profiling = False
         self._t0 = time.perf_counter()
         self._last = self._t0
+
+    def profile_steps(self, iteration: int) -> None:
+        """Start/stop a jax.profiler trace at the configured window; call
+        once per training iteration (before the step is dispatched)."""
+        if self.profile_iters is None:
+            return
+        import jax
+
+        start, stop = self.profile_iters
+        if iteration == start and not self._profiling:
+            trace_dir = os.path.join(self.output_dir, "profile")
+            jax.profiler.start_trace(trace_dir)
+            self._profiling = True
+            print(f"[profiler] tracing iterations {start}..{stop} -> {trace_dir}")
+        elif iteration >= stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
 
     def load_info(self, cfg, extra: Optional[str] = None):
         with open(os.path.join(self.output_dir, "config.yaml"), "w") as f:
@@ -77,4 +104,6 @@ class Monitor:
 
 def build_monitor(cfg) -> Monitor:
     log_every = cfg.MONITOR.ITERATION_NUM[0] if cfg.MONITOR.ITERATION_NUM else 20
-    return Monitor(cfg.DATASET.OUTPUT_PATH, log_every=log_every)
+    profile = cfg.MONITOR.get("PROFILE_ITERS", None)
+    return Monitor(cfg.DATASET.OUTPUT_PATH, log_every=log_every,
+                   profile_iters=tuple(profile) if profile else None)

@@ -1,9 +1,12 @@
 """Train / inference dispatcher.
 
 Equivalent of the reference scripts/main.py:12-65: merge configs, build the
-Trainer, dispatch by DATASET.DATA_TYPE and --inference.  There is no
-torch.distributed.launch equivalent to wire up — one process drives the
-whole mesh (multi-host would call jax.distributed.initialize here).
+Trainer, dispatch by DATASET.DATA_TYPE and --inference.  ``--distributed``
+(or RANK/WORLD_SIZE/MASTER_ADDR env, the same env:// convention as the
+reference's ``torch.distributed.launch``, utils/system.py:53-84) performs
+the multi-host ``jax.distributed.initialize`` rendezvous; after it, the one
+mesh program spans every process's devices and each host feeds its local
+shard of the global batch (parallel/mesh.py).
 
 Usage:
   python scripts/main.py --config-base configs/CVPPP/CVPPP-PCTrans-Base.yaml \
@@ -27,7 +30,10 @@ def get_args():
     p.add_argument("--config-file", type=str, default=None)
     p.add_argument("--inference", action="store_true")
     p.add_argument("--distributed", action="store_true",
-                   help="kept for CLI compatibility; the mesh is always used")
+                   help="multi-host: run jax.distributed.initialize from "
+                        "RANK/WORLD_SIZE/MASTER_ADDR:MASTER_PORT (or "
+                        "COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID) env "
+                        "vars; single-host mesh runs never need this")
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--submission", action="store_true",
                    help="CVPPP: run the official test set and write the "
@@ -40,6 +46,11 @@ def get_args():
 
 def main():
     args = get_args()
+    if args.distributed or "COORDINATOR_ADDRESS" in os.environ:
+        from pctrans_tpu.parallel import initialize_distributed
+
+        rank = initialize_distributed()
+        print(f"[distributed] process {rank} up")
     cfg = load_cfg(args.config_base, args.config_file, args.opts, freeze=False)
     if args.inference:
         cfg = update_inference_cfg(cfg)

@@ -122,3 +122,38 @@ class TestTrainerLoop:
         probs = trainer.predict_probs(imgs)
         assert probs.shape[0] == 1 and probs.shape[-2:] == (32, 32)
         assert np.isfinite(probs).all()
+
+
+class TestObservability:
+    def test_visualizer_png_fallback(self, tmp_path):
+        from pctrans_tpu.utils.visualizer import Visualizer
+
+        vis = Visualizer(str(tmp_path), tb_writer=None)
+        rs = np.random.RandomState(0)
+        images = rs.rand(2, 16, 16, 3).astype(np.float32)
+        labels = rs.randint(0, 4, (2, 16, 16))
+        preds = rs.randint(0, 4, (2, 16, 16))
+        vis.visualize(7, images, labels, preds)
+        files = os.listdir(os.path.join(str(tmp_path), "vis"))
+        assert len(files) == 2
+        panel = vis.panel(images[0], labels[0], preds[0])
+        assert panel.shape == (16, 48, 3)  # image | gt | pred side by side
+
+    def test_profiler_trace_window(self, tmp_path):
+        """Monitor.profile_steps captures a jax.profiler trace for the
+        configured window (SURVEY.md section 5 named the profiler hook as the
+        TPU equivalent of the reference's wall-clock-only timing)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pctrans_tpu.utils.monitor import Monitor
+
+        mon = Monitor(str(tmp_path), log_every=1, use_tensorboard=False,
+                      profile_iters=(1, 2))
+        for it in range(4):
+            mon.profile_steps(it)
+            jnp.ones(4).sum().block_until_ready()
+        assert not mon._profiling
+        trace_dir = os.path.join(str(tmp_path), "profile")
+        assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
+        mon.close()

@@ -145,3 +145,36 @@ class TestCompose:
                   "label": rs.randint(0, 3, (zs, ys, xs)).astype(np.float32)}
         out = aug(sample, np.random.RandomState(2))
         assert out["image"].shape == (4, 32, 32)
+
+
+class TestTTA16:
+    def test_16_variant_volumetric_identity(self):
+        """16-variant TTA on a volume: an identity forward must reconstruct
+        the input exactly for every variant (reference
+        test_augmentor.py:25-120 supports xy flips/transpose + z-flip)."""
+        from pctrans_tpu.data.tta import TestAugmentor
+
+        tta = TestAugmentor(mode="mean", num_aug=16)
+        rs = np.random.RandomState(0)
+        vol = rs.rand(2, 4, 8, 8, 1).astype(np.float32)
+
+        def forward(x):
+            return x[..., 0]  # [B, D, H, W] prediction == input
+
+        out = tta(forward, vol)
+        np.testing.assert_allclose(out, vol[..., 0], rtol=1e-6)
+
+    def test_16_folds_to_8_for_2d(self):
+        from pctrans_tpu.data.tta import TestAugmentor
+
+        tta = TestAugmentor(mode="mean", num_aug=16)
+        calls = []
+
+        def forward(x):
+            calls.append(1)
+            return x[..., 0]
+
+        img = np.random.RandomState(0).rand(1, 8, 8, 1).astype(np.float32)
+        out = tta(forward, img)
+        assert len(calls) == 8  # z-flip is meaningless in 2D
+        np.testing.assert_allclose(out, img[..., 0], rtol=1e-6)
