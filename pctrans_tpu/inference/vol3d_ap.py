@@ -1,0 +1,111 @@
+"""3D instance-segmentation average precision (legacy EM evaluation).
+
+Equivalent of the reference ``evaluate_ap``
+(connectomics/inference/evaluation/evaluate_ap.py:132-436, the default
+non-Hungarian path): build the pred/GT overlap table, score each instance by
+its best-overlap IoU, and per IoU threshold compute
+
+    AP_TP = #(pred best-IoU > th), AP_FP = #(pred best-IoU <= th),
+    AP_FN = #(GT best-IoU <= th),  AP = precision * recall
+
+averaged over thresholds 0.5..0.95 (:396-430).  Also reports the reference's
+"general" table: mean best dice/IoU/SEG in both directions and the
+non-split / FP / FN / TP counts from the >50%-of-GT coverage matching
+(:211-245, 344-375).  Vectorized contingency math instead of the
+reference's per-pair Python dict loops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def evaluate_ap(pred_labels: np.ndarray, gt_labels: np.ndarray,
+                background: Optional[int] = 0,
+                foreground_only: bool = False,
+                thresholds: Sequence[float] = (0.5, 0.55, 0.6, 0.65, 0.7,
+                                               0.75, 0.8, 0.85, 0.9, 0.95),
+                ) -> Tuple[float, float, float, Dict]:
+    """Returns (AP@0.75, AP@0.5, avAP, metrics_dict) — the reference's return
+    triple (:434-436) plus the full metrics tree."""
+    pred = np.ravel(pred_labels).astype(np.int64)
+    gt = np.ravel(gt_labels).astype(np.int64)
+    if foreground_only:
+        pred = np.where(gt == 0, 0, pred)
+
+    n_p = int(pred.max()) + 1
+    n_g = int(gt.max()) + 1
+    table = np.bincount(pred * n_g + gt,
+                        minlength=n_p * n_g).reshape(n_p, n_g).astype(np.float64)
+    pred_counts = table.sum(1)
+    gt_counts = table.sum(0)
+
+    pred_ids = np.where(pred_counts > 0)[0]
+    gt_ids = np.where(gt_counts > 0)[0]
+    if background is not None:
+        pred_ids = pred_ids[pred_ids != background]
+        gt_ids = gt_ids[gt_ids != background]
+    if len(pred_ids) == 0 or len(gt_ids) == 0:
+        return 0.0, 0.0, 0.0, {}
+
+    sub = table[np.ix_(pred_ids, gt_ids)]          # overlap counts
+    pc = pred_counts[pred_ids][:, None]
+    gc = gt_counts[gt_ids][None, :]
+    union = pc + gc - sub
+    iou = np.where(sub > 0, sub / union, 0.0)
+    dice = np.where(sub > 0, 2.0 * sub / (pc + gc), 0.0)
+    # SEG: IoU gated by >50% coverage of the GT (resp. pred) instance
+    seg_gt_gate = sub > 0.5 * gc
+    seg_p_gate = sub > 0.5 * pc
+    seg = np.where(seg_gt_gate, iou, 0.0)
+    seg_rev = np.where(seg_p_gate, iou, 0.0)
+
+    metrics: Dict = {"general": {}}
+    gen = metrics["general"]
+    gen["Num GT"] = int(len(gt_ids))
+    gen["Num Pred"] = int(len(pred_ids))
+    gen["GT/Ref -> Pred mean dice"] = float(dice.max(0).mean())
+    gen["Pred -> GT/Ref mean dice"] = float(dice.max(1).mean())
+    iou_gt = iou.max(0)                            # per-GT best IoU
+    iou_p = iou.max(1)                             # per-pred best IoU
+    gen["GT/Ref -> Pred mean iou"] = float(iou_gt.mean())
+    gen["Pred -> GT/Ref mean iou"] = float(iou_p.mean())
+    gen["GT/Ref -> Pred mean seg"] = float(seg.max(0).mean())
+    gen["Pred -> GT/Ref mean seg"] = float(seg.max(1).mean())
+    gen["Pred -> GT/Ref mean seg rev"] = float(seg_rev.max(1).mean())
+
+    # >50%-of-GT coverage matching matrix (:211-245)
+    matches = seg_gt_gate
+    gen["Pred -> GT/Ref NS"] = int(matches.sum()
+                                   - (matches.any(1)).sum())
+    gen["Pred -> GT/Ref FP"] = int((~matches.any(1)).sum())
+    gen["Pred -> GT/Ref TP"] = int((matches.sum(1) == 1).sum())
+    gen["GT/Ref -> Pred FN"] = int((~matches.any(0)).sum())
+    gen["GT/Ref -> Pred TP"] = int(matches.any(0).sum())
+
+    metrics["confusion_matrix"] = {}
+    aps = []
+    for th in thresholds:
+        ap_tp = int((iou_p > th).sum())
+        ap_fp = int((iou_p <= th).sum())
+        ap_fn = int((iou_gt <= th).sum())
+        p = ap_tp / max(1, ap_tp + ap_fp)
+        rec = ap_tp / max(1, ap_tp + ap_fn)
+        ap = p * rec
+        aps.append(ap)
+        precision = ap_tp / max(1, len(pred_ids))
+        recall = ap_tp / max(1, len(gt_ids))
+        fscore = (2 * precision * recall / max(1, precision + recall)
+                  if precision + recall > 0 else 0.0)
+        metrics["confusion_matrix"][f"th_{str(th).replace('.', '_')}"] = {
+            "AP_TP": ap_tp, "AP_FP": ap_fp, "AP_FN": ap_fn, "AP": ap,
+            "precision": precision, "recall": recall, "fscore": fscore,
+        }
+    av_ap = float(np.mean(aps))
+    metrics["confusion_matrix"]["avAP"] = av_ap
+
+    ap75 = metrics["confusion_matrix"].get("th_0_75", {}).get("AP", 0.0)
+    ap50 = metrics["confusion_matrix"].get("th_0_5", {}).get("AP", 0.0)
+    return ap75, ap50, av_ap, metrics

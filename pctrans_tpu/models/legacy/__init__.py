@@ -28,7 +28,9 @@ from .blocks import (
     get_legacy_norm,
     linear_resize,
 )
+from .botnet import BotNet3D
 from .deeplab import DeepLabV3
+from .efficientnet import EfficientNet3D
 from .fpn3d import FPN3D
 from .repvgg import RepVGG3D, RepVGGBlock3D, repvgg_convert
 from .resnet_legacy import ResNet2D, ResNet3D

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import ConvNormAct, linear_resize
+from .botnet import BotNet3D
+from .efficientnet import EfficientNet3D
 from .repvgg import RepVGG3D
 from .resnet_legacy import ResNet3D
 
@@ -51,6 +53,21 @@ class FPN3D(nn.Module):
                 pad_mode=self.pad_mode, act_mode=self.act_mode,
                 deploy=self.deploy, feature_keys=keys, train=self.train,
                 dtype=self.dtype, name="backbone")(x)
+        elif self.backbone_type == "botnet":
+            feats = BotNet3D(
+                block_type=self.block_type, filters=self.filters,
+                blocks=self.blocks, isotropy=isotropy,
+                pad_mode=self.pad_mode, act_mode=self.act_mode,
+                norm_mode=self.norm_mode, feature_keys=keys,
+                train=self.train, dtype=self.dtype, name="backbone")(x)
+        elif self.backbone_type == "efficientnet":
+            feats = EfficientNet3D(
+                filters=self.filters, blocks=tuple(self.blocks) + (2,) * max(
+                    0, len(self.filters) - len(self.blocks)),
+                isotropy=isotropy, pad_mode=self.pad_mode,
+                act_mode=self.act_mode, norm_mode=self.norm_mode,
+                feature_keys=keys, train=self.train, dtype=self.dtype,
+                name="backbone")(x)
         else:
             raise ValueError(f"Unsupported FPN3D backbone: {self.backbone_type}")
 

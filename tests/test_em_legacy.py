@@ -144,3 +144,76 @@ class TestWatershedZoo:
         sem = pp.polarity2instance(np.stack([pre, post, union]),
                                    thres_small=0, semantic=True)
         assert set(np.unique(sem)) == {0, 1, 2}
+
+
+class TestVol3dAP:
+    def test_perfect_prediction(self):
+        from pctrans_tpu.inference.vol3d_ap import evaluate_ap
+
+        gt = np.zeros((2, 16, 16), np.int32)
+        gt[:, :8, :8] = 1
+        gt[:, 8:, 8:] = 2
+        ap75, ap50, av, m = evaluate_ap(gt.copy(), gt)
+        assert ap75 == 1.0 and ap50 == 1.0 and av == 1.0
+        assert m["general"]["Pred -> GT/Ref TP"] == 2
+        assert m["general"]["Pred -> GT/Ref FP"] == 0
+
+    def test_half_overlap(self):
+        from pctrans_tpu.inference.vol3d_ap import evaluate_ap
+
+        gt = np.zeros((1, 8, 16), np.int32)
+        gt[0, :, :8] = 1
+        pred = np.zeros_like(gt)
+        pred[0, :, 4:12] = 1  # IoU = 4/12 = 1/3 with gt
+        ap75, ap50, av, m = evaluate_ap(pred, gt)
+        assert ap50 == 0.0  # best IoU 1/3 <= 0.5 -> FP + FN
+        assert m["confusion_matrix"]["th_0_5"]["AP_FP"] == 1
+        assert m["confusion_matrix"]["th_0_5"]["AP_FN"] == 1
+
+    def test_ap_formula_matches_reference(self):
+        """AP = precision*recall with TP/FP from per-pred best IoU and FN
+        from per-GT best IoU (evaluate_ap.py:396-430)."""
+        from pctrans_tpu.inference.vol3d_ap import evaluate_ap
+
+        rs = np.random.RandomState(0)
+        gt = rs.randint(0, 5, (2, 24, 24))
+        pred = gt.copy()
+        pred[rs.rand(*pred.shape) < 0.3] = rs.randint(0, 5)
+        ap75, ap50, av, m = evaluate_ap(pred, gt)
+        cm = m["confusion_matrix"]["th_0_5"]
+        p = cm["AP_TP"] / max(1, cm["AP_TP"] + cm["AP_FP"])
+        r = cm["AP_TP"] / max(1, cm["AP_TP"] + cm["AP_FN"])
+        assert cm["AP"] == pytest.approx(p * r)
+        assert 0.0 <= av <= 1.0
+
+
+class TestSlidingWindow:
+    def test_identity_reconstruction(self):
+        """An identity forward must reconstruct the volume exactly despite
+        overlapping windows and boundary clamping (blending normalizes)."""
+        from pctrans_tpu.inference.sliding_window import sliding_window_inference
+
+        rs = np.random.RandomState(0)
+        vol = rs.rand(5, 20, 22, 1).astype(np.float32)
+
+        def forward(x):  # [B, z, y, x, 1] -> [B, 1, z, y, x]
+            return np.transpose(x, (0, 4, 1, 2, 3))
+
+        out = sliding_window_inference(forward, vol, window=(4, 8, 8),
+                                       stride=(2, 5, 6), out_channels=1,
+                                       batch_size=3)
+        np.testing.assert_allclose(out[0], vol[..., 0], rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("blending", ["gaussian", "bump"])
+    def test_full_coverage(self, blending):
+        from pctrans_tpu.inference.sliding_window import sliding_window_inference
+
+        vol = np.ones((3, 9, 11, 2), np.float32)
+
+        def forward(x):
+            return np.ones((x.shape[0], 4) + x.shape[1:4], np.float32)
+
+        out = sliding_window_inference(forward, vol, window=(2, 4, 4),
+                                       stride=(2, 4, 4), out_channels=4,
+                                       blending=blending)
+        np.testing.assert_allclose(out, np.ones_like(out), rtol=1e-4)

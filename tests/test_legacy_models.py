@@ -272,3 +272,43 @@ class TestSwin:
         variables = model.init(jax.random.key(0), x)
         out = model.apply(variables, x)
         assert out["pred_masks"].shape == (1, 5, 32, 32)
+
+
+class TestExtraBackbones:
+    def test_botnet3d_feature_pyramid(self):
+        from pctrans_tpu.models.legacy import BotNet3D
+
+        model = BotNet3D(filters=(4, 5, 6, 8, 8), blocks=(1, 1, 1, 1),
+                         isotropy=(False, False, True, True, True),
+                         train=False)
+        x = jnp.zeros((1, 4, 32, 32, 1))
+        variables = model.init(jax.random.key(0), x)
+        feats = model.apply(variables, x)
+        assert feats["feat1"].shape == (1, 4, 32, 32, 4)
+        assert feats["feat4"].shape[-1] == 8
+        assert feats["feat5"].shape == (1, feats["feat4"].shape[1],
+                                        feats["feat4"].shape[2] // 2,
+                                        feats["feat4"].shape[3] // 2, 8)
+
+    def test_efficientnet3d_feature_pyramid(self):
+        from pctrans_tpu.models.legacy import EfficientNet3D
+
+        model = EfficientNet3D(filters=(4, 6, 8, 8, 8), blocks=(1, 1, 1, 1, 1),
+                               ks=(3, 3, 5, 3, 3),
+                               isotropy=(False, False, False, True, True),
+                               train=False)
+        x = jnp.zeros((1, 8, 32, 32, 1))
+        variables = model.init(jax.random.key(0), x)
+        feats = model.apply(variables, x)
+        assert feats["feat1"].shape == (1, 8, 32, 32, 4)
+        assert feats["feat5"].shape[-1] == 8
+        # strides 1/2/2/(1,2,2)/2 -> z halves three times, xy four times
+        assert feats["feat5"].shape[1:4] == (1, 2, 2)
+
+    @pytest.mark.parametrize("backbone", ["botnet", "efficientnet"])
+    def test_fpn3d_with_extra_backbones(self, backbone):
+        model = FPN3D(backbone_type=backbone, out_channel=2, filters=F3,
+                      blocks=(1, 1), isotropy=ISO3, train=False)
+        x = jnp.zeros((1, 4, 16, 16, 1))
+        out = _init_apply(model, x)
+        assert out.shape == (1, 4, 16, 16, 2)

@@ -224,3 +224,89 @@ class TestDecoderChainParity:
         inv = torch.log(r.clamp(min=1e-3) / (1 - r).clamp(min=1e-3))
         ref_out = torch.sigmoid(t + inv).numpy()
         np.testing.assert_allclose(new_ref, ref_out, rtol=1e-5, atol=1e-6)
+
+
+class TestPostprocessParity:
+    """Postprocess vs literal torch transcriptions of the reference
+    (arch/maskformer.py mask_nms:357-390, dice_for:392-401,
+    mask_post:403-431) on identical random masks."""
+
+    def _torch_mask_post(self, inst_masks, thres1, thres2, bd_flag):
+        m = torch.from_numpy(inst_masks)
+        flat = m.flatten(1)
+        numer = flat @ flat.T
+        s = flat.sum(-1)
+        dice = (2 * numer + 1) / (s[:, None] + s[None, :] + 1)
+        qn = dice.shape[0]
+        clustered, groups = [], []
+        for i in range(qn):
+            if i in clustered:
+                continue
+            cluster = torch.where(dice[i] > thres1)[0].tolist()
+            clustered += cluster
+            groups.append(cluster)
+        outs = []
+        for ids in groups:
+            merged = m[ids].float().mean(0)
+            if bd_flag:
+                merged = (merged > thres2).float()
+            outs.append(merged)
+        return torch.stack(outs).numpy()
+
+    def _torch_mask_nms(self, masks, scores, thres):
+        m = torch.from_numpy(masks)
+        order = torch.argsort(torch.from_numpy(scores)).tolist()[::-1]
+        n = m.shape[0]
+        suppressed = np.zeros(n, int)
+        keep = []
+        for i in range(n):
+            idx = order[i]
+            if suppressed[idx]:
+                continue
+            keep.append(idx)
+            a = m[idx]
+            area_a = a.sum()
+            for j in range(i, n):
+                jdx = order[j]
+                if suppressed[jdx]:
+                    continue
+                b = m[jdx]
+                area_b = b.sum()
+                inter = (a * b).sum()
+                eps = 1e-5
+                aa = area_a + (eps if (area_a == 0 or area_b == 0) else 0)
+                bb = area_b + (eps if (area_a == 0 or area_b == 0) else 0)
+                if max(inter / aa, inter / bb) >= thres:
+                    suppressed[jdx] = 1
+        return m[keep].numpy()
+
+    def _random_masks(self, n=8, hw=24, seed=0):
+        rs = np.random.RandomState(seed)
+        masks = np.zeros((n, hw, hw), np.float32)
+        for i in range(n):
+            y, x = rs.randint(0, hw - 8, 2)
+            h, w = rs.randint(4, 9, 2)
+            masks[i, y : y + h, x : x + w] = 1.0
+        return masks
+
+    @pytest.mark.parametrize("bd_flag", [False, True])
+    def test_mask_post(self, bd_flag):
+        from pctrans_tpu.inference.postprocess import mask_post
+
+        masks = self._random_masks(seed=3)
+        ours = mask_post(masks, thres1=0.5, thres2=0.6, bd_flag=bd_flag)
+        ref = self._torch_mask_post(masks, 0.5, 0.6, bd_flag)
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
+
+    def test_mask_nms(self):
+        from pctrans_tpu.inference.postprocess import mask_nms
+
+        masks = self._random_masks(seed=5)
+        # area-ratio scores like the reference eval path (:296-300); strictly
+        # unique so np/torch argsort tie-breaking cannot diverge (the greedy
+        # NMS is order-dependent by design)
+        scores = (masks.sum((1, 2)) / masks[0].size
+                  + np.arange(masks.shape[0]) * 1e-6)
+        ours = mask_nms(masks, scores, thres=0.72)
+        ref = self._torch_mask_nms(masks, scores, 0.72)
+        np.testing.assert_allclose(ours, ref)
