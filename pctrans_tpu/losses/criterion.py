@@ -54,6 +54,12 @@ class CriterionConfig:
     emb_weight: float = 2.0
     sem_loss_on: bool = True
     dec_layers: int = 10  # total mask predictions (9 decoder layers + 1)
+    # dtype of the point-sampling contractions (the criterion's dominant
+    # cost: ~260 ms of a 281 ms train step in f32 at the 448^2 recipe).  The
+    # reference trains under AMP (engine/trainer.py:140); bf16 here halves
+    # the MXU time of the matcher costs and the CE/dice point sampling while
+    # all loss reductions stay f32.  Set "float32" for bit-level oracles.
+    sample_dtype: str = "bfloat16"
 
 
 def build_criterion(cfg) -> "SetCriterion":
@@ -89,18 +95,25 @@ class SetCriterion:
         """Point-sampled sigmoid-CE + dice for one prediction layer
         (maskformer_criterion.py:216-285)."""
         c = self.cfg
+        sdt = jnp.dtype(c.sample_dtype)
         B, Q, h, w = pred.shape
         G = q4g.shape[1]
         src = jnp.take_along_axis(pred, q4g[:, :, None, None], axis=1)  # [B, G, h, w]
-        src = src.reshape(B * G, 1, h, w)
-        tgt = tgt_masks.reshape(B * G, 1, *tgt_masks.shape[2:])
+        src = src.reshape(B * G, 1, h, w).astype(sdt)
+        tgt = tgt_masks.reshape(B * G, 1, *tgt_masks.shape[2:]).astype(sdt)
 
+        # Uncertainty is only a RANKING over stop_gradient logits used to
+        # pick sample positions; estimating it on a 2x-strided view of the
+        # mask quarters the oversampled-sampling FLOPs (normalized coords are
+        # resolution-independent, so the picked points transfer exactly).
+        src_est = jax.lax.stop_gradient(src)[:, :, ::2, ::2]
         coords = get_uncertain_point_coords(
-            rng, jax.lax.stop_gradient(src), c.num_points,
+            rng, src_est, c.num_points,
             c.oversample_ratio, c.importance_sample_ratio,
         )
-        labels = jax.lax.stop_gradient(point_sample(tgt, coords)[:, 0])
-        logits = point_sample(src, coords)[:, 0]
+        labels = jax.lax.stop_gradient(
+            point_sample(tgt, coords)[:, 0]).astype(jnp.float32)
+        logits = point_sample(src, coords)[:, 0].astype(jnp.float32)
 
         vmask = valid.reshape(-1).astype(logits.dtype)
         ce = _bce_logits(logits, labels).mean(axis=1)
@@ -146,10 +159,12 @@ class SetCriterion:
         match_keys = jax.random.split(k_match, L)
         # Matching is a discrete decision (reference matcher is @torch.no_grad);
         # stop_gradient keeps the LAP solver loops out of the backward graph.
-        stacked_ng = jax.lax.stop_gradient(stacked)
+        sdt = jnp.dtype(c.sample_dtype)
+        stacked_ng = jax.lax.stop_gradient(stacked).astype(sdt)
+        tgt_masks_s = tgt_masks.astype(sdt)
         indices = jax.vmap(
             lambda k, p: point_matcher_indices(
-                k, p, tgt_masks, valid, c.num_points, c.mask_weight, c.dice_weight
+                k, p, tgt_masks_s, valid, c.num_points, c.mask_weight, c.dice_weight
             )
         )(match_keys, stacked_ng)  # [L, B, G]
 

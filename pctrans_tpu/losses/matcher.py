@@ -24,19 +24,25 @@ from ..ops.point_sample import point_sample
 
 
 def _pair_costs(out_pts: jnp.ndarray, tgt_pts: jnp.ndarray, cost_mask: float, cost_dice: float):
-    """out_pts: [Q, P] logits; tgt_pts: [G, P] binary.  Returns [Q, G] cost."""
+    """out_pts: [Q, P] logits; tgt_pts: [G, P] binary.  Returns [Q, G] f32 cost.
+
+    The [Q, P] x [P, G] contractions run in the inputs' dtype (bf16 under the
+    criterion's AMP-style sampling) with f32 accumulation; matching is a
+    discrete argmin, so sub-1e-3 cost noise can only flip genuine near-ties
+    (which the reference's scipy solver broke arbitrarily anyway)."""
     P = out_pts.shape[1]
-    hi = jax.lax.Precision.HIGHEST  # cost matrices feed the LAP solver: f32
+    f32 = jnp.float32
     pos = jax.nn.softplus(-out_pts)   # BCE(out, 1)
     neg = jax.nn.softplus(out_pts)    # BCE(out, 0)
-    ce = (jnp.matmul(pos, tgt_pts.T, precision=hi)
-          + jnp.matmul(neg, (1.0 - tgt_pts).T, precision=hi)) / P
+    ce = (jnp.matmul(pos, tgt_pts.T, preferred_element_type=f32)
+          + jnp.matmul(neg, (1.0 - tgt_pts).T, preferred_element_type=f32)) / P
 
     sig = jax.nn.sigmoid(out_pts)
-    numer = 2.0 * jnp.matmul(sig, tgt_pts.T, precision=hi)
-    denom = sig.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
+    numer = 2.0 * jnp.matmul(sig, tgt_pts.T, preferred_element_type=f32)
+    denom = (sig.astype(f32).sum(-1)[:, None]
+             + tgt_pts.astype(f32).sum(-1)[None, :])
     dice = 1.0 - (numer + 1.0) / (denom + 1.0)
-    return cost_mask * ce + cost_dice * dice
+    return (cost_mask * ce + cost_dice * dice).astype(f32)
 
 
 def match_one_image(
@@ -55,8 +61,7 @@ def match_one_image(
     # Q separate N=1 dots (Point_HungarianMatcher semantics, matcher.py:116)
     out_pts = point_sample(pred_logits[None], coords)[0]   # [Q, P]
     tgt_pts = point_sample(gt_masks[None], coords)[0]      # [G, P]
-    cost = _pair_costs(out_pts.astype(jnp.float32), tgt_pts.astype(jnp.float32),
-                       cost_mask, cost_dice)
+    cost = _pair_costs(out_pts, tgt_pts, cost_mask, cost_dice)
     return match_padded(cost, valid)
 
 

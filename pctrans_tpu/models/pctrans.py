@@ -49,6 +49,13 @@ class ModelConfig:
     swin_num_heads: Tuple[int, ...] = (3, 6, 12, 24)
     swin_window_size: int = 7
     swin_drop_path: float = 0.3
+    # Input normalization (reference MaskFormer registers pixel_mean/std and
+    # applies (x - mean) / std in forward, arch/maskformer.py; the trained
+    # configs use mean 0 / std 255 ON TOP of the dataset transforms' own
+    # normalization — a published quirk reproduced when loading those YAMLs).
+    # Neutral defaults keep programmatic ModelConfig() use untouched.
+    pixel_mean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     # Rematerialize encoder/decoder layers in the backward pass (HBM for
     # FLOPs: without it the 448^2 batch-2 train step needs ~18G of 16G HBM).
     remat: bool = True
@@ -94,6 +101,8 @@ def build_model_config(cfg) -> ModelConfig:
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         backbone_name=cfg.MODEL.BACKBONE.NAME,
         pixel_decoder_name=sh.PIXEL_DECODER_NAME,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype="bfloat16" if cfg.MODEL.MIXED_PRECESION else "float32",
         **swin_kwargs,
     )
@@ -121,6 +130,11 @@ class PCTransModel(nn.Module):
     def __call__(self, images: jnp.ndarray) -> Dict[str, Any]:
         c = self.config
         dtype = jnp.dtype(c.dtype)
+        # (x - pixel_mean) / pixel_std (reference arch/maskformer.py forward)
+        if tuple(c.pixel_mean) != (0.0, 0.0, 0.0) or tuple(c.pixel_std) != (1.0, 1.0, 1.0):
+            mean = jnp.asarray(c.pixel_mean, jnp.float32)
+            std = jnp.asarray(c.pixel_std, jnp.float32)
+            images = (images - mean) / std
         if c.backbone_name == "D2SwinTransformer":
             from .swin import SwinTransformer
 

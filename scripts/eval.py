@@ -47,8 +47,14 @@ def main():
     if not sweep:
         print(f"No checkpoints >= iter {args.start} in {cfg.DATASET.OUTPUT_PATH}")
         return
+    from pctrans_tpu.parallel import replicate
+
     for path in sweep:
-        trainer.state = ckpt.restore_checkpoint(path, trainer.state)
+        # restore, then explicitly re-replicate over the mesh: orbax restores
+        # with whatever sharding the checkpoint recorded, which may not match
+        # the eval mesh (e.g. a 4-device training run swept on 1 device)
+        trainer.state = replicate(
+            trainer.mesh, ckpt.restore_checkpoint(path, trainer.state))
         name = os.path.basename(path)
         if args.name == "bbbc" or cfg.DATASET.DATA_TYPE == "BBBC":
             res = trainer.test_bbbc(model_name=name)

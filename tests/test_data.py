@@ -129,3 +129,58 @@ class TestBBBCTransforms:
         img = np.arange(600 * 700, dtype=np.float32).reshape(600, 700)
         out = center_crop_2d(img, (512, 512))
         assert out.shape == (512, 512)
+
+
+class TestVolumeIO:
+    def test_h5_roundtrip(self, tmp_path):
+        from pctrans_tpu.data.volume_io import readvol, savevol, writeh5, readh5
+
+        vol = np.random.RandomState(0).randint(0, 255, (4, 8, 8)).astype(np.uint8)
+        path = str(tmp_path / "vol.h5")
+        writeh5(path, vol)
+        np.testing.assert_array_equal(readh5(path), vol)
+        np.testing.assert_array_equal(readvol(path), vol)
+
+    def test_png_stack(self, tmp_path):
+        from PIL import Image
+
+        from pctrans_tpu.data.volume_io import readimgs, readvol
+
+        rs = np.random.RandomState(1)
+        vol = rs.randint(0, 255, (3, 8, 8)).astype(np.uint8)
+        for i in range(3):
+            Image.fromarray(vol[i]).save(tmp_path / f"{i:02d}.png")
+        out = readimgs(str(tmp_path / "*.png"))
+        np.testing.assert_array_equal(out, vol)
+
+    def test_tile2volume(self, tmp_path):
+        from PIL import Image
+
+        from pctrans_tpu.data.volume_io import tile2volume
+
+        # a 2x2 tile grid of 8x8 tiles, one z slice, values = tile id
+        for row in range(2):
+            for col in range(2):
+                tile = np.full((8, 8), row * 2 + col + 10, np.uint8)
+                Image.fromarray(tile).save(tmp_path / f"{row}_{col}.png")
+        pattern = str(tmp_path) + r"/{row}_{column}.png"
+        out = tile2volume([pattern], coord=[0, 1, 2, 14, 2, 14],
+                          coord_m=[0, 1, 0, 16, 0, 16], tile_sz=8)
+        assert out.shape == (1, 12, 12)
+        assert out[0, 0, 0] == 10      # top-left tile
+        assert out[0, -1, -1] == 13    # bottom-right tile
+
+    def test_vast2seg(self):
+        from pctrans_tpu.data.volume_io import vast2Seg
+
+        rgb = np.zeros((2, 2, 3), np.uint8)
+        rgb[0, 0] = (1, 2, 3)
+        seg = vast2Seg(rgb)
+        assert seg[0, 0] == 1 * 65536 + 2 * 256 + 3
+
+    def test_create_json(self):
+        from pctrans_tpu.data.volume_io import create_json
+
+        meta = create_json(depth=12)
+        assert len(meta["image"]) == 12
+        assert "{row}_{column}" in meta["image"][0]
