@@ -106,20 +106,22 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
         "image": jax.device_put(jnp.asarray(np.stack([it["image"] for it in items]))),
         "label": jax.device_put(jnp.asarray(np.stack([it["label"] for it in items]))),
     }
-    step = make_train_step(config, criterion, tx, max_instances=40)
+    step = jax.jit(make_train_step(config, criterion, tx, max_instances=40))
     rng = jax.random.key(0)
 
-    @jax.jit
-    def loop(c):
-        def body(i, carry):
-            c, st = carry
-            st, m = step(st, batch, rng)
-            return (m["loss"] * 1e-30 + c, st)
-
-        c, st = jax.lax.fori_loop(0, iters, body, (c, state))
-        return c + jax.tree_util.tree_leaves(st.params)[0].ravel()[0] * 1e-30
-
-    dt = _timed_loop(loop, iters)
+    # Python-loop dispatch with a dependent final scalar fetch: each step
+    # consumes the previous state, so the chain serializes on device, and
+    # float() blocks on the value (unlike block_until_ready through the
+    # remote relay).  A fori_loop-compiled chain measured ~3x slower than
+    # the plain jitted step on v5e (XLA schedules the while-heavy criterion
+    # worse inside an outer loop), so it would under-report real training.
+    st, m = step(state, batch, rng)   # compile + warmup
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, m = step(st, batch, rng)
+    float(m["loss"])                  # waits for the whole chain
+    dt = max(time.perf_counter() - t0 - ROUND_TRIP_S, 1e-9) / iters
     return B / dt
 
 

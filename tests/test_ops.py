@@ -324,3 +324,42 @@ class TestMSDeformAttnPallas:
                                             jnp.array(locs), jnp.array(attn),
                                             impl=impl))
             np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestAuctionLAP:
+    """Jacobi auction solver vs scipy (the wide-iteration TPU alternative to
+    the sequential JV solver; ops/lap.py solve_lap_auction)."""
+
+    def test_matches_scipy_total_cost(self, rng):
+        import scipy.optimize
+
+        from pctrans_tpu.ops.lap import solve_lap_auction
+
+        for trial in range(5):
+            R, C = (8, 8) if trial % 2 == 0 else (6, 11)
+            costs = rng.rand(R, C).astype(np.float32) * 10
+            out = np.asarray(solve_lap_auction(jnp.asarray(costs)))
+            srows, scols = scipy.optimize.linear_sum_assignment(costs)
+            assert len(set(out.tolist())) == R  # valid permutation
+            assert costs[np.arange(R), out].sum() == pytest.approx(
+                costs[srows, scols].sum(), abs=1e-3)
+
+    def test_degenerate_ties_terminate(self):
+        from pctrans_tpu.ops.lap import solve_lap_auction
+
+        costs = jnp.zeros((5, 7))  # all ties: worst case for bidding wars
+        out = np.asarray(solve_lap_auction(costs))
+        assert len(set(out.tolist())) == 5
+
+    def test_match_padded_auction_equals_jv(self, rng):
+        from pctrans_tpu.ops.lap import match_padded
+
+        costs = jnp.asarray(rng.rand(12, 6).astype(np.float32))
+        valid = jnp.asarray(np.array([1, 1, 0, 1, 0, 1], bool))
+        a = np.asarray(match_padded(costs, valid, solver="auction"))
+        j = np.asarray(match_padded(costs, valid, solver="jv"))
+        # same total cost over valid slots (assignments may differ on ties)
+        va = np.asarray(valid)
+        ca = np.asarray(costs)[a, np.arange(6)][va].sum()
+        cj = np.asarray(costs)[j, np.arange(6)][va].sum()
+        assert ca == pytest.approx(cj, abs=1e-3)
