@@ -60,6 +60,12 @@ class CriterionConfig:
     # the MXU time of the matcher costs and the CE/dice point sampling while
     # all loss reductions stay f32.  Set "float32" for bit-level oracles.
     sample_dtype: str = "bfloat16"
+    # The per-mask CE/dice targets are bilinearly point-sampled from the GT
+    # instance masks; at the reference's full input resolution (448^2) that
+    # sampling costs 4x the (stride-4) prediction sampling.  False (default)
+    # samples a 2x-strided view — targets differ only sub-pixel at instance
+    # boundaries.  True reproduces the reference's full-resolution targets.
+    exact_targets: bool = False
 
 
 def build_criterion(cfg) -> "SetCriterion":
@@ -161,10 +167,12 @@ class SetCriterion:
         # stop_gradient keeps the LAP solver loops out of the backward graph.
         sdt = jnp.dtype(c.sample_dtype)
         stacked_ng = jax.lax.stop_gradient(stacked).astype(sdt)
-        tgt_masks_s = tgt_masks.astype(sdt)
+        # GT-side sampling goes through the integer label map (exact; see
+        # ops/point_sample.sample_label_onehot)
+        seg = targets["seg"]
         indices = jax.vmap(
             lambda k, p: point_matcher_indices(
-                k, p, tgt_masks_s, valid, c.num_points, c.mask_weight, c.dice_weight
+                k, p, seg, valid, c.num_points, c.mask_weight, c.dice_weight
             )
         )(match_keys, stacked_ng)  # [L, B, G]
 
@@ -176,9 +184,10 @@ class SetCriterion:
         # All L predictions share one shape: vmap the point-sampled losses
         # over the layer axis (one compiled graph instead of L copies).
         point_keys = jax.random.split(k_points, L)
+        tgt_for_loss = tgt_masks if c.exact_targets else tgt_masks[:, :, ::2, ::2]
         lm, ld = jax.vmap(
             self._layer_mask_losses, in_axes=(0, 0, None, 0, None, None)
-        )(point_keys, stacked, tgt_masks, indices, valid, num_masks)
+        )(point_keys, stacked, tgt_for_loss, indices, valid, num_masks)
         for l in range(L):
             mk, dk = ("loss_mask", "loss_dice") if l == L - 1 else (
                 f"loss_mask_{l}", f"loss_dice_{l}")

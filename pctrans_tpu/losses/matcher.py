@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.lap import match_padded
-from ..ops.point_sample import point_sample
+from ..ops.point_sample import point_sample, sample_label_onehot
 
 
 def _pair_costs(out_pts: jnp.ndarray, tgt_pts: jnp.ndarray, cost_mask: float, cost_dice: float):
@@ -48,20 +48,26 @@ def _pair_costs(out_pts: jnp.ndarray, tgt_pts: jnp.ndarray, cost_mask: float, co
 def match_one_image(
     key: jax.Array,
     pred_logits: jnp.ndarray,   # [Q, h, w]
-    gt_masks: jnp.ndarray,      # [G, H, W]
+    gt_seg: jnp.ndarray,        # [H, W] int32 label map (0 = bg, ids 1..G)
     valid: jnp.ndarray,         # [G] bool
     num_points: int,
     cost_mask: float = 5.0,
     cost_dice: float = 5.0,
 ) -> jnp.ndarray:
     """Returns query4gt int32 [G] (meaningful where ``valid``)."""
+    G = valid.shape[0]
     coords = jax.random.uniform(key, (1, num_points, 2))
-    # the points are shared across masks, so sample all Q (resp. G) masks as
-    # channels of one contraction — on the MXU this is N=Q wide instead of
-    # Q separate N=1 dots (Point_HungarianMatcher semantics, matcher.py:116)
+    # the points are shared across masks, so sample all Q masks as channels
+    # of one contraction — on the MXU this is N=Q wide instead of Q separate
+    # N=1 dots (Point_HungarianMatcher semantics, matcher.py:116)
     out_pts = point_sample(pred_logits[None], coords)[0]   # [Q, P]
-    tgt_pts = point_sample(gt_masks[None], coords)[0]      # [G, P]
-    cost = _pair_costs(out_pts, tgt_pts, cost_mask, cost_dice)
+    # GT masks factor exactly through the integer label map: 4 corner
+    # gathers + id compares, independent of the (full-res) map size — vs a
+    # hat generator costing H*W ops per point (ops/point_sample.py
+    # sample_label_onehot)
+    tgt_pts = sample_label_onehot(gt_seg[None], coords, G)[0]  # [G, P]
+    cost = _pair_costs(out_pts, tgt_pts.astype(pred_logits.dtype),
+                       cost_mask, cost_dice)
     return match_padded(cost, valid)
 
 
@@ -69,7 +75,7 @@ def match_one_image(
 def point_matcher_indices(
     key: jax.Array,
     pred_logits: jnp.ndarray,   # [B, Q, h, w]
-    gt_masks: jnp.ndarray,      # [B, G, H, W]
+    gt_seg: jnp.ndarray,        # [B, H, W] int32 label map
     valid: jnp.ndarray,         # [B, G]
     num_points: int,
     cost_mask: float = 5.0,
@@ -80,4 +86,4 @@ def point_matcher_indices(
     keys = jax.random.split(key, B)
     fn = partial(match_one_image, num_points=num_points,
                  cost_mask=cost_mask, cost_dice=cost_dice)
-    return jax.vmap(fn)(keys, pred_logits, gt_masks, valid)
+    return jax.vmap(fn)(keys, pred_logits, gt_seg, valid)

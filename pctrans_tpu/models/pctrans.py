@@ -112,8 +112,12 @@ class PCTransModel(nn.Module):
     """Full PCTrans network.
 
     __call__(images [B, H, W, 3]) -> dict with keys:
-      pred_masks           [B, Q, H/2, W/2]   final mask logits
-      aux_masks            list of 9 earlier  [B, Q, H/2, W/2]
+      pred_masks           [B, Q, H/4, W/4]   final mask logits (stride 4;
+                                              the reference emits a 2x
+                                              bilinear upsample of the same
+                                              logits — see the decoder's
+                                              ``upsample2x`` flag)
+      aux_masks            list of 9 earlier  [B, Q, H/4, W/4]
       reference_points     [B, Q, 2]
       aux_reference_points list of 8          [B, Q, 2]
       query_emb            [B, Q, C]

@@ -181,6 +181,14 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
     controller_layers: int = 3
     mask_feat_stride: int = 4
     num_feature_levels: int = 3
+    # Reference layout emits mask logits 2x-upsampled to stride 2
+    # (dynamic_mask_with_coords, reference :714-719).  The upsample is a
+    # deterministic bilinear map that adds no information, and sampling the
+    # upsampled maps cost 4x more in the criterion (50k hat-FLOPs per point
+    # at 224^2 vs 12.5k at 112^2 — measured 175 ms of the train step).  The
+    # TPU recipe therefore emits stride-4 logits and lets consumers
+    # upsample; set True to reproduce the reference tensor layout exactly.
+    upsample2x: bool = False
     train: bool = True
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -338,8 +346,9 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
     ):
         """Render per-query masks via dynamic 1x1 convs (reference :647-719).
 
-        Returns (mask_logits [B, Q, 2Hm, 2Wm], attn_bias [B, Q, h*w]) where
-        attn_bias is 0 / NEG_INF with the fully-masked-row reset applied.
+        Returns (mask_logits [B, Q, 2Hm, 2Wm] when ``upsample2x`` else
+        [B, Q, Hm, Wm], attn_bias [B, Q, h*w]) where attn_bias is 0 /
+        NEG_INF with the fully-masked-row reset applied.
         """
         B, Hm, Wm, Cm = mask_feat.shape
         Q = reference_points.shape[1]
@@ -406,5 +415,6 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             jnp.where(masked, jnp.asarray(NEG_INF, dtype), jnp.asarray(0.0, dtype))
         )
 
-        mask_logits = resize_bilinear(mask_logits, (Hm * 2, Wm * 2))
+        if self.upsample2x:
+            mask_logits = resize_bilinear(mask_logits, (Hm * 2, Wm * 2))
         return mask_logits, attn_bias

@@ -188,3 +188,51 @@ def sample_masks_at_points(masks: jnp.ndarray, coords: jnp.ndarray, squeeze: boo
     """Convenience wrapper: masks [N, H, W] sampled at coords [N, P, 2] -> [N, P]."""
     out = point_sample(masks[:, None], coords)
     return out[:, 0] if squeeze else out
+
+
+def sample_label_onehot(seg: jnp.ndarray, point_coords: jnp.ndarray,
+                        num_ids: int) -> jnp.ndarray:
+    """Point-sample all instances' one-hot masks through the integer label map.
+
+    For coords SHARED across instances (the matcher's case,
+    Point_HungarianMatcher matcher.py:116), bilinear sampling of instance
+    g's binary mask factorizes exactly:
+
+        sample(onehot_g)(p) = sum_c w_c(p) * [seg(corner_c(p)) == g]
+
+    so instead of a hat contraction per instance over the full [H, W] map
+    (~H*W FLOPs per point per the generator build), we gather the FOUR
+    corner labels of each point once (4 * P rows) and compare against every
+    id — exact, and independent of the map resolution.
+
+    seg: [B, H, W] int (0 = background, ids 1..num_ids);
+    point_coords: [B, P, 2] normalized (x, y), grid_sample align_corners=False.
+    Returns [B, num_ids, P] float32, bit-equal to
+    ``point_sample(onehot_masks, point_coords)``.
+    """
+    B, H, W = seg.shape
+    P = point_coords.shape[1]
+    x = point_coords[..., 0] * W - 0.5
+    y = point_coords[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(jnp.float32)
+    ty = (y - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = seg.reshape(B, H * W)
+    ids = jnp.arange(1, num_ids + 1, dtype=seg.dtype)
+
+    def corner(xi, yi, w):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)   # [B, P]
+        vals = jnp.take_along_axis(flat, idx, axis=1)               # [B, P]
+        onehot = vals[:, None, :] == ids[None, :, None]             # [B, G, P]
+        return onehot.astype(jnp.float32) * (w * valid)[:, None, :]
+
+    return (
+        corner(x0i, y0i, (1 - tx) * (1 - ty))
+        + corner(x0i + 1, y0i, tx * (1 - ty))
+        + corner(x0i, y0i + 1, (1 - tx) * ty)
+        + corner(x0i + 1, y0i + 1, tx * ty)
+    )

@@ -271,7 +271,7 @@ class TestSwin:
         x = jnp.zeros((1, 64, 64, 3))
         variables = model.init(jax.random.key(0), x)
         out = model.apply(variables, x)
-        assert out["pred_masks"].shape == (1, 5, 32, 32)
+        assert out["pred_masks"].shape == (1, 5, 16, 16)
 
 
 class TestExtraBackbones:

@@ -101,7 +101,7 @@ class TestFullModel:
         vars_ = jax.jit(model.init)(jax.random.key(0), x)
         out = jax.jit(model.apply)(vars_, x)
         Q = TINY.num_queries
-        assert out["pred_masks"].shape == (1, Q, 32, 32)          # stride 2
+        assert out["pred_masks"].shape == (1, Q, 16, 16)          # stride 4
         assert len(out["aux_masks"]) == TINY.dec_layers
         assert out["reference_points"].shape == (1, Q, 2)
         assert len(out["aux_reference_points"]) == TINY.dec_layers - 1

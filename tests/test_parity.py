@@ -143,7 +143,7 @@ class TestDynamicMaskParity:
         B, Q2, Hm, Wm, Cm, ch, stride = 2, 3, 8, 8, 4, 8, 4
         dec = MultiScaleMaskedTransformerDecoder(
             hidden_dim=D, num_queries=Q2, nheads=H_HEADS, dim_feedforward=32,
-            dec_layers=2, mask_dim=Cm, train=False)
+            dec_layers=2, mask_dim=Cm, upsample2x=True, train=False)
         cin = Cm + 2
         weight_nums = [cin * ch, ch * ch, ch]
         bias_nums = [ch, ch, 1]
