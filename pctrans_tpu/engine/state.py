@@ -105,7 +105,7 @@ def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None) -> Ca
     threshold keeps a handful.  The filter is *exact* for any run where at
     most K queries clear the postprocess threshold: bilinear upsampling is a
     convex combination, so a query's upsampled peak never exceeds its
-    half-res peak, and queries are kept in score order.  Returns
+    stride-4 peak, and queries are kept in score order.  Returns
     (probs [B, K, H, W], peak_logits [B, K]) — callers can verify K was
     large enough by checking peak_logits[:, -1] against the threshold logit.
     Without ``top_k``: probs [B, Q, H, W] (exact reference semantics).
@@ -118,7 +118,7 @@ def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None) -> Ca
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         out = model.apply(variables, images)
-        masks = out["pred_masks"]  # [B, Q, H/2, W/2] f32
+        masks = out["pred_masks"]  # [B, Q, H/4, W/4] f32 (stride 4)
         H, W = images.shape[1:3]
         if top_k is not None and top_k < masks.shape[1]:
             peak = masks.max(axis=(2, 3))                      # [B, Q]

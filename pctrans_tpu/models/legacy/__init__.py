@@ -30,6 +30,7 @@ from .blocks import (
 )
 from .botnet import BotNet3D
 from .deeplab import DeepLabV3
+from .discriminator import Discriminator3D
 from .efficientnet import EfficientNet3D
 from .fpn3d import FPN3D
 from .repvgg import RepVGG3D, RepVGGBlock3D, repvgg_convert

@@ -312,3 +312,21 @@ class TestExtraBackbones:
         x = jnp.zeros((1, 4, 16, 16, 1))
         out = _init_apply(model, x)
         assert out.shape == (1, 4, 16, 16, 2)
+
+
+class TestDiscriminator:
+    def test_patchgan_output(self):
+        """Discriminator3D produces patch logits (reference arch/misc.py:7-79);
+        pairs with losses.legacy.GANLoss."""
+        from pctrans_tpu.models.legacy import Discriminator3D
+        from pctrans_tpu.losses.legacy import GANLoss
+
+        model = Discriminator3D(filters=(4, 4, 8), isotropy=(False, True, True),
+                                stride_list=(2, 2, 1), train=False)
+        x = jnp.zeros((1, 4, 32, 32, 1))
+        variables = model.init(jax.random.key(0), x)
+        out = model.apply(variables, x)
+        assert out.shape[0] == 1 and out.shape[-1] == 1
+        assert out.shape[2] < 32  # spatially downsampled patch map
+        loss = GANLoss("lsgan")(jnp.ravel(out), True)
+        assert np.isfinite(float(loss))
