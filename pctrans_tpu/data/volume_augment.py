@@ -96,8 +96,10 @@ class Rotate(DataAugment):
     def _warp_stack(vol, M, interp):
         out = vol.copy()
         h, w = vol.shape[-2:]
+        # cv2 dsize is (width, height); the reference passed (height, width)
+        # (rotation.py:49), which only works for square crops
         for z in range(vol.shape[-3]):
-            out[z] = cv2.warpAffine(vol[z], M, (h, w), 1.0, flags=interp,
+            out[z] = cv2.warpAffine(vol[z], M, (w, h), 1.0, flags=interp,
                                     borderMode=cv2.BORDER_CONSTANT)
         return out
 
@@ -109,7 +111,8 @@ class Rotate(DataAugment):
                 sample[key] = np.rot90(sample[key].copy(), k, axes=(1, 2))
         else:
             h, w = sample["image"].shape[-2:]
-            M = cv2.getRotationMatrix2D((h / 2, w / 2),
+            # cv2 centers are (x, y) = (w/2, h/2)
+            M = cv2.getRotationMatrix2D((w / 2, h / 2),
                                         random_state.rand() * 360.0, 1)
             sample["image"] = self._warp_stack(sample["image"].copy(), M,
                                                _INTERP["img"])
@@ -287,6 +290,8 @@ class MisAlignment(DataAugment):
 
     def __call__(self, sample, random_state):
         img = sample["image"]
+        if img.shape[0] < 3:  # slip/translation needs an interior slice
+            return sample
         if random_state.rand() < self.rotate_ratio:
             h, w = img.shape[-2:]
             assert h == w
@@ -329,7 +334,8 @@ class MissingSection(DataAugment):
 
     def __call__(self, sample, random_state):
         img = sample["image"]
-        if img.shape[0] == 1:
+        # need >= num_sections interior slices to delete
+        if img.shape[0] - 2 < self.num_sections:
             return sample
         idx = random_state.choice(np.arange(1, img.shape[0] - 1),
                                   self.num_sections, replace=False)
@@ -515,6 +521,8 @@ class MixupAugmentor:
     def __call__(self, volume, random_state: Optional[np.random.RandomState] = None):
         rs = random_state or np.random.RandomState()
         num_vol = volume.shape[0]
+        if num_vol < 2:  # nothing to mix with (e.g. a ragged batch of 1)
+            return volume
         num_aug = min(self.num_aug, num_vol)
         major = rs.choice(num_vol, num_aug, replace=False)
         for i in major:

@@ -160,8 +160,10 @@ def tile2volume(tiles: List[str], coord: List[int], coord_m: List[int],
     placeholders; out-of-dataset borders reflect-padded."""
     z0o, z1o, y0o, y1o, x0o, x1o = coord
     z0m, z1m, y0m, y1m, x0m, x1m = coord_m
-    bd = [max(-z0o, z0m), max(0, z1o - z1m), max(-y0o, y0m),
-          max(0, y1o - y1m), max(-x0o, x0m), max(0, x1o - x1m)]
+    # out-of-dataset border amounts; the reference's max(-z0o, z0m)
+    # (data_io.py:223) only equals this for zero-origin datasets
+    bd = [max(0, z0m - z0o), max(0, z1o - z1m), max(0, y0m - y0o),
+          max(0, y1o - y1m), max(0, x0m - x0o), max(0, x1o - x1m)]
     z0, y0, x0 = max(z0o, z0m), max(y0o, y0m), max(x0o, x0m)
     z1, y1, x1 = min(z1o, z1m), min(y1o, y1m), min(x1o, x1m)
 

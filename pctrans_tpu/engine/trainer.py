@@ -189,6 +189,8 @@ class Trainer:
         jax.block_until_ready(self.state.params)
         if self.swa is not None and self.swa.params is not None:
             self.save_swa_checkpoint()
+        if hasattr(self, "monitor"):
+            self.monitor.close()  # flush + stop any open profiler trace
         return time.perf_counter() - t0
 
     # ------------------------------------------------------------------

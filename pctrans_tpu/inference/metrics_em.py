@@ -17,11 +17,21 @@ import numpy as np
 
 
 def _contingency(seg: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    """Dense contingency counts [n_gt_labels, n_seg_labels]."""
+    """Dense contingency counts [n_gt_labels, n_seg_labels].
+
+    Labels are remapped to consecutive ids first (0 stays 0), so the table
+    is bounded by the number of DISTINCT labels — sparse/24-bit id volumes
+    (e.g. vast2Seg outputs) would otherwise demand a (max_id+1)^2 table
+    (the reference used scipy.sparse for the same reason, evaluate.py:52).
+    Callers receive rows/cols indexed by the remapped ids, which is
+    invariant for every metric here (they only use counts).
+    """
     seg = np.ravel(seg).astype(np.int64)
     gt = np.ravel(gt).astype(np.int64)
-    n_a = int(gt.max()) + 1
-    n_b = int(seg.max()) + 1
+    gt_ids, gt = np.unique(np.concatenate([[0], gt]), return_inverse=True)
+    seg_ids, seg = np.unique(np.concatenate([[0], seg]), return_inverse=True)
+    gt, seg = gt[1:], seg[1:]
+    n_a, n_b = len(gt_ids), len(seg_ids)
     flat = gt * n_b + seg
     return np.bincount(flat, minlength=n_a * n_b).reshape(n_a, n_b)
 
@@ -106,9 +116,10 @@ def get_binary_jaccard(pred: np.ndarray, gt: np.ndarray,
     for tid, t in enumerate(thres):
         assert 0.0 < t < 1.0
         tp, fp, tn, fn = confusion_matrix(pred, gt, t)
-        precision = tp / (tp + fp)
-        recall = tp / (tp + fn)
-        iou_fg = tp / (tp + fp + fn)
-        iou_bg = tn / (tn + fp + fn)
+        # empty prediction/GT at this threshold scores 0, not a crash
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        iou_fg = tp / max(tp + fp + fn, 1)
+        iou_bg = tn / max(tn + fp + fn, 1)
         score[tid] = [iou_fg, (iou_fg + iou_bg) / 2.0, precision, recall]
     return score

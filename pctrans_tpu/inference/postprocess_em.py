@@ -70,10 +70,20 @@ def remove_small_instances(segm: np.ndarray, thres_small: int,
 
 
 def watershed(neg_image: np.ndarray, markers: np.ndarray,
-              mask: Optional[np.ndarray] = None) -> np.ndarray:
+              mask: Optional[np.ndarray] = None,
+              flood_iters: int = 8) -> np.ndarray:
     """Marker-based watershed on ``neg_image`` (lower floods first), the
     call signature of ``skimage.segmentation.watershed`` as used by
-    process.py (always ``watershed(-semantic, seed, mask=foreground)``)."""
+    process.py (always ``watershed(-semantic, seed, mask=foreground)``).
+
+    Cost model: per intensity level, labels expand by one neighborhood step
+    per dilation pass, capped at ``flood_iters`` passes (unbounded flooding
+    would cost O(levels x basin-diameter) whole-volume max-filters on large
+    EM volumes).  Anything still unlabeled after the level sweep is assigned
+    to the euclidean-nearest labeled voxel in one EDT pass — an
+    approximation of flood order only for basins wider than
+    ``flood_iters * levels`` voxels, and of geodesic distance in strongly
+    concave masks."""
     if mask is None:
         mask = np.ones(neg_image.shape, bool)
     labels = np.where(mask, markers, 0).astype(np.int32)
@@ -88,14 +98,19 @@ def watershed(neg_image: np.ndarray, markers: np.ndarray,
     levels = np.unique(q[mask])
     for level in levels:
         active = mask & (q <= level)
-        # flood this level's plateau until stable
-        while True:
+        for _ in range(flood_iters):
             neighbor_max = ndimage.grey_dilation(
                 labels, size=(3,) * labels.ndim)
             new = (labels == 0) & active & (neighbor_max > 0)
             if not new.any():
                 break
             labels[new] = neighbor_max[new]
+    # EDT-nearest cleanup for voxels the bounded flood did not reach
+    todo = mask & (labels == 0)
+    if todo.any() and (labels > 0).any():
+        inds = ndimage.distance_transform_edt(
+            labels == 0, return_indices=True, return_distances=False)
+        labels = np.where(todo, labels[tuple(inds)], labels)
     return labels
 
 

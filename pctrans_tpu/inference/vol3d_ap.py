@@ -35,6 +35,17 @@ def evaluate_ap(pred_labels: np.ndarray, gt_labels: np.ndarray,
     if foreground_only:
         pred = np.where(gt == 0, 0, pred)
 
+    # remap to consecutive ids (0 pinned): the contingency table is then
+    # bounded by the number of DISTINCT instances, not max id (24-bit VAST
+    # ids would otherwise demand a petabyte table; cf. the sparse form the
+    # reference used, evaluate_ap.py:181)
+    _, pred = np.unique(np.concatenate([[background or 0], pred]),
+                        return_inverse=True)
+    _, gt = np.unique(np.concatenate([[background or 0], gt]),
+                      return_inverse=True)
+    pred, gt = pred[1:], gt[1:]
+    if background is not None:
+        background = 0  # remapped position of the background id
     n_p = int(pred.max()) + 1
     n_g = int(gt.max()) + 1
     table = np.bincount(pred * n_g + gt,
@@ -97,7 +108,7 @@ def evaluate_ap(pred_labels: np.ndarray, gt_labels: np.ndarray,
         aps.append(ap)
         precision = ap_tp / max(1, len(pred_ids))
         recall = ap_tp / max(1, len(gt_ids))
-        fscore = (2 * precision * recall / max(1, precision + recall)
+        fscore = (2 * precision * recall / (precision + recall)
                   if precision + recall > 0 else 0.0)
         metrics["confusion_matrix"][f"th_{str(th).replace('.', '_')}"] = {
             "AP_TP": ap_tp, "AP_FP": ap_fp, "AP_FN": ap_fn, "AP": ap,

@@ -431,7 +431,11 @@ class LegacyCriterion:
                 w_mask = None
                 if weight is not None and weight[i][j] is not None:
                     wm = jnp.asarray(weight[i][j])
-                    if wm.shape[-1] != 1:
+                    # the no-weight placeholder is the size-1 zeros array
+                    # (reference foo = np.zeros((1), int), criterion.py:18;
+                    # its shape[-1] != 1 test also dropped genuine weight
+                    # maps with a trailing channel dim of 1)
+                    if wm.size > 1:
                         w_mask = wm
                 term = self.loss_w[i][j] * self.loss_fn[i][j](
                     self.act[i][j](x[i]), jnp.asarray(target[i]),

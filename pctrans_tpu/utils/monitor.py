@@ -97,6 +97,11 @@ class Monitor:
                 self.tb.add_scalar(f"eval/{k}", float(v), iteration)
 
     def close(self):
+        if self._profiling:  # trace window extended past the last iteration
+            import jax
+
+            jax.profiler.stop_trace()
+            self._profiling = False
         self.jsonl.close()
         if self.tb is not None:
             self.tb.close()
