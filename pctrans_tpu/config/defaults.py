@@ -31,7 +31,18 @@ def get_cfg_defaults() -> CfgNode:
     c.MODEL.IN_PLANES = 3
     c.MODEL.OUT_PLANES = 1
     c.MODEL.TARGET_OPT = ["9"]
+    c.MODEL.WEIGHT_OPT = [["1"]]
+    # legacy multi-target criterion (reference defaults.py LOSS_* keys)
+    c.MODEL.LOSS_OPTION = [["WeightedBCE"]]
+    c.MODEL.LOSS_WEIGHT = [[1.0]]
+    c.MODEL.OUTPUT_ACT = [["none"]]
+    c.MODEL.LOSS_KWARGS_KEY = None
+    c.MODEL.LOSS_KWARGS_VAL = None
+    c.MODEL.REGU_OPT = None
+    c.MODEL.REGU_TARGET = None
+    c.MODEL.REGU_WEIGHT = None
     c.MODEL.LABEL_EROSION = 0
+    c.MODEL.LABEL_DILATION = 0
     c.MODEL.BLOCK_TYPE = "residual"
     c.MODEL.NORM_MODE = "sync_bn"    # on TPU batch stats sync via the data axis
     # legacy-zoo knobs (reference defaults.py; consumed by build_architecture)
@@ -141,6 +152,18 @@ def get_cfg_defaults() -> CfgNode:
     c.DATASET.VAL_PAD_SIZE = [0, 0, 0]
     c.DATASET.DO_CHUNK_TITLE = 0
     c.DATASET.POST_PROCESS = "none"
+    # volumetric (EM) path: VolumeDataset / TileDataset
+    # (reference defaults.py:180-204)
+    c.DATASET.VALID_MASK_NAME = None
+    c.DATASET.MEAN = 0.5
+    c.DATASET.STD = 0.5
+    c.DATASET.DATA_CHUNK_NUM = [1, 1, 1]
+    c.DATASET.DATA_CHUNK_IND = None
+    c.DATASET.CHUNK_IND_SPLIT = None
+    c.DATASET.DATA_CHUNK_STRIDE = True
+    c.DATASET.DATA_CHUNK_ITER = 1000
+    c.DATASET.REJECT_SAMPLING = CfgNode(
+        {"SIZE_THRES": -1, "DIVERSITY": -1, "P": 0.95})
 
     # --------------------------------------------------------------- AUGMENTOR
     # Volume (EM-stack) augmentation blocks (reference defaults.py AUGMENTOR

@@ -1,1 +1,2 @@
-"""Data pipelines: CVPPP / BBBC loaders, augmentations, padded target prep."""
+"""Data pipelines: CVPPP / BBBC / cellpose / MoNuSeg loaders, volumetric
+VolumeDataset / TileDataset, augmentations, target generation, IO."""

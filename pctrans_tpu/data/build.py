@@ -38,7 +38,71 @@ def get_dataset(cfg, mode: str):
         length = 64 if mode == "train" else 8
         return SyntheticDataset(size=size, length=length,
                                 seed={"train": 0, "val": 1, "test": 2}[mode])
+    if dt in ("cellpose", "monuseg"):
+        from .instance_folder import CellposeDataset, MoNuSegDataset
+
+        cls = CellposeDataset if dt == "cellpose" else MoNuSegDataset
+        return cls(root, mode, crop_size=cfg.MODEL.INPUT_SIZE[-1])
+    if dt in ("volume", "tile"):
+        return build_volume_dataset(cfg, mode)
     raise ValueError(f"Unknown DATASET.DATA_TYPE: {dt}")
+
+
+def build_volume_dataset(cfg, mode: str):
+    """Legacy EM path: VolumeDataset, or TileDataset when
+    DATASET.DO_CHUNK_TITLE=1 (reference get_dataset,
+    data/dataset/build.py:248-347)."""
+    import os
+
+    from .volume_augment import build_train_augmentor
+    from .volume_dataset import TileDataset, VolumeDataset, load_volume_inputs
+
+    augmentor = build_train_augmentor(cfg) if mode == "train" else None
+    sample_size = list(cfg.MODEL.INPUT_SIZE)
+    if len(sample_size) == 2:
+        sample_size = [1] + sample_size
+    if mode == "train":
+        stride = (1, 1, 1)
+        iter_num = cfg.SOLVER.ITERATION_TOTAL * cfg.SOLVER.SAMPLES_PER_BATCH
+    elif mode == "val":
+        stride = [max(1, s // 2) for s in sample_size]
+        iter_num = -1
+    else:
+        stride = cfg.INFERENCE.STRIDE
+        iter_num = -1
+    rj = cfg.DATASET.REJECT_SAMPLING
+    shared = dict(
+        mode=mode, sample_volume_size=sample_size, sample_stride=stride,
+        augmentor=augmentor, target_opt=cfg.MODEL.TARGET_OPT,
+        weight_opt=cfg.MODEL.WEIGHT_OPT,
+        reject_size_thres=rj.SIZE_THRES, reject_diversity=rj.DIVERSITY,
+        reject_p=rj.P, data_mean=cfg.DATASET.MEAN, data_std=cfg.DATASET.STD,
+        do_relabel=cfg.DATASET.REDUCE_LABEL, do_2d=cfg.DATASET.DO_2D,
+        erosion_rates=cfg.MODEL.LABEL_EROSION or None,
+        dilation_rates=cfg.MODEL.LABEL_DILATION or None,
+    )
+    if cfg.DATASET.DO_CHUNK_TITLE == 1:
+        root = cfg.DATASET.INPUT_PATH
+
+        def _paths(name):
+            if not name:
+                return None
+            names = name if isinstance(name, (list, tuple)) else [name]
+            return [os.path.join(root, n) for n in names]
+
+        return TileDataset(
+            volume_json=_paths(cfg.DATASET.IMAGE_NAME),
+            label_json=_paths(cfg.DATASET.LABEL_NAME) if mode == "train" else None,
+            valid_mask_json=(_paths(cfg.DATASET.VALID_MASK_NAME)
+                             if mode == "train" else None),
+            chunk_num=cfg.DATASET.DATA_CHUNK_NUM,
+            chunk_ind=cfg.DATASET.DATA_CHUNK_IND,
+            chunk_ind_split=cfg.DATASET.CHUNK_IND_SPLIT,
+            chunk_iter=cfg.DATASET.DATA_CHUNK_ITER,
+            chunk_stride=cfg.DATASET.DATA_CHUNK_STRIDE,
+            pad_size=cfg.DATASET.PAD_SIZE, **shared)
+    img, lab, vm = load_volume_inputs(cfg, mode)
+    return VolumeDataset(img, lab, vm, iter_num=iter_num, **shared)
 
 
 def batch_size_for(cfg, mode: str, n_devices: int = 1) -> int:

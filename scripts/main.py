@@ -56,10 +56,28 @@ def main():
         cfg = update_inference_cfg(cfg)
     cfg.freeze()
 
-    from pctrans_tpu.engine.trainer import Trainer
-
     t0 = time.time()
     mode = "test" if args.inference else "train"
+
+    # legacy EM path (volumetric data + legacy zoo): LegacyTrainer with
+    # optional chunked TileDataset orchestration (reference main.py routes
+    # these through the same Trainer; see engine/legacy_trainer.py)
+    if cfg.DATASET.DATA_TYPE in ("volume", "tile"):
+        from pctrans_tpu.engine.legacy_trainer import LegacyTrainer
+
+        trainer = LegacyTrainer(cfg, mode=mode, checkpoint=args.checkpoint)
+        if cfg.DATASET.DO_CHUNK_TITLE == 1:
+            trainer.run_chunk(mode)
+        elif mode == "train":
+            trainer.train()
+        else:
+            trainer.test()
+        trainer.close()
+        print(f"Total runtime: {time.time() - t0:.1f}s")
+        return
+
+    from pctrans_tpu.engine.trainer import Trainer
+
     trainer = Trainer(cfg, mode=mode, checkpoint=args.checkpoint)
 
     if not args.inference:
