@@ -37,7 +37,9 @@ import jax.numpy as jnp
 from ..ops.point_sample import (
     get_uncertain_point_coords,
     grid_sample_bilinear,
+    kth_largest_threshold,
     point_sample,
+    sample_label_onehot,
     uncertain_point_weights,
 )
 from .contrast import cosine_similarity_matrix, pairwise_mask_dice, reid_losses_one_image
@@ -72,14 +74,29 @@ class CriterionConfig:
     # boundaries.  True reproduces the reference's full-resolution targets.
     exact_targets: bool = False
     # How PointRend importance sampling picks its points:
-    #   "weighted" (default): evaluate CE/dice at ALL oversampled candidates
-    #     with selection folded into per-point weights (sort-free threshold;
-    #     ops/point_sample.uncertain_point_weights).  Same estimator in
-    #     expectation; removes the top-k sort + 2x12M scalar coordinate
-    #     gathers that cost ~450 ms/step on TPU at the 448^2 recipe.
-    #   "topk": select-then-gather via jax.lax.approx_max_k.
+    #   "shared" (default): one candidate set per image per layer, shared
+    #     across masks (the reference matcher already shares its points
+    #     across all masks, matcher.py:116), with selection folded into
+    #     per-mask per-point weights (sort-free threshold).  GT values come
+    #     EXACTLY from the full-resolution integer label map
+    #     (sample_label_onehot — no stride-2 target approximation), and all
+    #     G mask logits are sampled by one C=G-wide hat contraction instead
+    #     of G C=1 passes (~10x fewer sampling FLOPs).
+    #   "weighted": per-mask candidates, selection as weights (sort-free).
+    #   "topk": reference data flow, select-then-gather via approx_max_k.
     #   "exact": bit-exact torch.topk semantics (oracle comparisons).
-    point_select: str = "weighted"
+    point_select: str = "shared"
+    # Candidate-set size for the "shared" path, as a multiple of num_points.
+    # The reference evaluates its loss at num_points positions whose density
+    # is 3x higher (oversample_ratio) inside the most-uncertain quantile;
+    # the weighted estimator reproduces that EXACTLY in expectation at ANY
+    # candidate count by importance weights w_sel = imp*num_points/n_sel,
+    # w_rest = (1-imp)*num_points/(M-n_sel).  1.0 (default) evaluates at
+    # num_points candidates — 3x less sampling traffic than materializing
+    # the oversampled set, at slightly higher estimator variance (a ~3x
+    # smaller actual sample of the uncertain region, upweighted); set 3.0
+    # to match the reference's sample counts exactly.
+    candidate_ratio: float = 1.0
 
 
 def build_criterion(cfg) -> "SetCriterion":
@@ -111,6 +128,52 @@ class SetCriterion:
         self.cfg = config
 
     # -------------------------------------------------------------- pieces
+    def _layer_mask_losses_shared(self, rng, pred, seg, q4g, valid, num_masks):
+        """Point-sampled sigmoid-CE + dice, shared-candidate formulation
+        (CriterionConfig.point_select doc).  pred [B, Q, h, w] stride-4
+        logits; seg [B, H, W] full-res integer label map."""
+        c = self.cfg
+        sdt = jnp.dtype(c.sample_dtype)
+        B, Q, h, w = pred.shape
+        G = q4g.shape[1]
+        P = int(c.num_points * c.candidate_ratio)
+        src = jnp.take_along_axis(pred, q4g[:, :, None, None], axis=1)
+
+        cu = jax.random.uniform(rng, (2, B, P))
+        cx, cy = cu[0], cu[1]
+        # all G matched masks sampled in one C=G-wide contraction; a small
+        # chunk keeps the vmap-over-layers hat tensors VMEM-resident
+        logits = grid_sample_bilinear(
+            src.astype(sdt), cx * w - 0.5, cy * h - 0.5, chunk=128,
+        ).astype(jnp.float32)                                   # [B, G, P]
+
+        # per-mask importance weights from the sampled logits themselves
+        # (detectron2 computes uncertainty on the same oversampled logits):
+        # points inside the top-(imp/oversample) uncertainty quantile carry
+        # the reference's 3x evaluation density as weight mass
+        uncert = -jnp.abs(jax.lax.stop_gradient(logits))
+        k_q = max(int(P * c.importance_sample_ratio / c.oversample_ratio), 1)
+        t = kth_largest_threshold(uncert, k_q)
+        sel = uncert >= t
+        n_sel = sel.sum(-1, keepdims=True).astype(jnp.float32)
+        w_sel = c.importance_sample_ratio * c.num_points / jnp.maximum(
+            n_sel, 1.0)
+        w_rest = (1.0 - c.importance_sample_ratio) * c.num_points / \
+            jnp.maximum(P - n_sel, 1.0)
+        wp = jax.lax.stop_gradient(jnp.where(sel, w_sel, w_rest))  # [B, G, P]
+
+        # exact full-resolution GT: 4 corner gathers through the label map
+        coords = jnp.stack([cx, cy], axis=-1)                   # [B, P, 2]
+        labels = jax.lax.stop_gradient(sample_label_onehot(seg, coords, G))
+
+        denom = jnp.maximum(wp.sum(-1), 1.0)                    # == num_points
+        ce = (wp * _bce_logits(logits, labels)).sum(-1) / denom
+        sig = jax.nn.sigmoid(logits)
+        dice = 1.0 - (2.0 * (wp * sig * labels).sum(-1) + 1.0) / (
+            (wp * sig).sum(-1) + (wp * labels).sum(-1) + 1.0)
+        v = valid.astype(jnp.float32)
+        return (ce * v).sum() / num_masks, (dice * v).sum() / num_masks
+
     def _layer_mask_losses(self, rng, pred, tgt_masks, q4g, valid, num_masks):
         """Point-sampled sigmoid-CE + dice for one prediction layer
         (maskformer_criterion.py:216-285)."""
@@ -217,10 +280,17 @@ class SetCriterion:
         # All L predictions share one shape: vmap the point-sampled losses
         # over the layer axis (one compiled graph instead of L copies).
         point_keys = jax.random.split(k_points, L)
-        tgt_for_loss = tgt_masks if c.exact_targets else tgt_masks[:, :, ::2, ::2]
-        lm, ld = jax.vmap(
-            self._layer_mask_losses, in_axes=(0, 0, None, 0, None, None)
-        )(point_keys, stacked, tgt_for_loss, indices, valid, num_masks)
+        if c.point_select == "shared":
+            lm, ld = jax.vmap(
+                self._layer_mask_losses_shared,
+                in_axes=(0, 0, None, 0, None, None)
+            )(point_keys, stacked, seg, indices, valid, num_masks)
+        else:
+            tgt_for_loss = (tgt_masks if c.exact_targets
+                            else tgt_masks[:, :, ::2, ::2])
+            lm, ld = jax.vmap(
+                self._layer_mask_losses, in_axes=(0, 0, None, 0, None, None)
+            )(point_keys, stacked, tgt_for_loss, indices, valid, num_masks)
         for l in range(L):
             mk, dk = ("loss_mask", "loss_dice") if l == L - 1 else (
                 f"loss_mask_{l}", f"loss_dice_{l}")

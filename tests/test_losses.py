@@ -193,6 +193,29 @@ class TestCriterion:
         for k, v in losses.items():
             assert np.isfinite(float(v)), k
 
+    def test_point_select_paths_agree_in_expectation(self, rng):
+        """shared / weighted / topk / exact are the same estimator family:
+        with a large point budget the mask losses must agree closely."""
+        label = np.zeros((1, 64, 64), np.int32)
+        label[0, 8:28, 8:28] = 1
+        label[0, 36:60, 36:60] = 2
+        targets = targets_from_labels(jnp.array(label), max_instances=4)
+        outputs = self._fake_outputs(rng, h=16, w=16)
+        vals = {}
+        for mode in ("shared", "weighted", "topk", "exact"):
+            crit = SetCriterion(CriterionConfig(
+                num_points=2048, dec_layers=3, exact_targets=True,
+                point_select=mode, sample_dtype="float32"))
+            _, losses = jax.jit(crit.__call__)(
+                jax.random.key(3), outputs, targets)
+            vals[mode] = (float(losses["loss_mask"]),
+                          float(losses["loss_dice"]))
+        ce_ref, dice_ref = vals["exact"]
+        for mode in ("shared", "weighted", "topk"):
+            ce, dice = vals[mode]
+            assert abs(ce - ce_ref) < 0.15 * abs(ce_ref) + 0.05, (mode, vals)
+            assert abs(dice - dice_ref) < 0.15 * abs(dice_ref) + 0.05, (mode, vals)
+
     def test_perfect_prediction_beats_random(self, rng):
         """Uncertainty sampling concentrates points on mask boundaries, so a
         perfect prediction still has nonzero point-sampled BCE — but it must
