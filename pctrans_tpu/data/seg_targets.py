@@ -283,6 +283,19 @@ def seg_to_targets(label_orig: np.ndarray, topts: Sequence[str],
             _, mode, a, b = topt.split("-")
             out.append(edt_semantic(label.copy(), mode, float(a), float(b))[
                 None].astype(np.float32))
+        elif code == "7":
+            # cellpose diffusion-gradient flows; '7-0' appends the binary
+            # foreground mask channel (data_segmentation.py:367-375)
+            from .diffusion import seg2diffgrads
+
+            grads = seg2diffgrads(label)
+            if "0" in topt.split("-"):
+                bin_mask = seg2binary(label, "0").astype(np.float32)
+                if bin_mask.ndim < grads.ndim:
+                    bin_mask = bin_mask[None]
+                out.append(np.concatenate([grads, bin_mask], axis=0))
+            else:
+                out.append(grads)
         elif code == "9":
             out.append(label.astype(np.int64))
         else:

@@ -142,3 +142,98 @@ class TestBlending:
         assert w.min() > 0
         # center outweighs the corner
         assert w[2, 8, 8] > w[0, 0, 0]
+
+
+class TestDiffusionGrads:
+    """TARGET_OPT '7' vs a literal transcription of the reference
+    masks2flows/extend_centers pixel-list algorithm
+    (data_diffusion.py:26-130, torch gathers -> numpy fancy indexing)."""
+
+    @staticmethod
+    def _oracle_masks2flows(masks):
+        from scipy import ndimage as ndi
+
+        h, w = masks.shape
+        masks_padded = np.pad(masks, 1).astype(np.int64)
+        mu0 = np.zeros((2, h, w))
+        centers = np.zeros((int(masks.max()), 2), "int")
+        y, x = np.nonzero(masks_padded)
+        nY = np.stack((y, y - 1, y + 1, y, y, y - 1, y - 1, y + 1, y + 1), 0)
+        nX = np.stack((x, x, x, x - 1, x + 1, x - 1, x + 1, x - 1, x + 1), 0)
+        slices = ndi.find_objects(masks)
+        for i, si in enumerate(slices):
+            if si is None:
+                continue
+            sr, sc = si
+            yi, xi = np.nonzero(masks[sr, sc] == (i + 1))
+            yi = yi.astype(np.int32) + 1
+            xi = xi.astype(np.int32) + 1
+            ymed, xmed = np.median(yi), np.median(xi)
+            imin = np.argmin((xi - xmed) ** 2 + (yi - ymed) ** 2)
+            centers[i, 0] = yi[imin] + sr.start
+            centers[i, 1] = xi[imin] + sc.start
+        nm = masks_padded[nY, nX]
+        isneigh = nm == nm[0]
+        ext = np.array([[s[0].stop - s[0].start + 1, s[1].stop - s[1].start + 1]
+                        for s in slices if s is not None])
+        if len(ext) == 0:
+            return mu0
+        n_iter = 2 * (ext.sum(axis=1)).max()
+        T = np.zeros((h + 2, w + 2), np.float64)
+        for _ in range(n_iter):
+            T[centers[:, 0], centers[:, 1]] += 1
+            Tneigh = T[nY, nX] * isneigh
+            T[nY[0], nX[0]] = Tneigh.mean(axis=0)
+        T = np.log1p(T)
+        dy = T[nY[2], nX[2]] - T[nY[1], nX[1]]
+        dx = T[nY[4], nX[4]] - T[nY[3], nX[3]]
+        mu = np.stack((dy, dx))
+        mu /= 1e-20 + (mu ** 2).sum(axis=0) ** 0.5
+        mu0[:, y - 1, x - 1] = mu
+        return mu0
+
+    def _blobs(self, seed=0, shape=(24, 20), n=4):
+        r = np.random.RandomState(seed)
+        lbl = np.zeros(shape, np.int32)
+        for i in range(n):
+            cy, cx = r.randint(2, shape[0] - 2), r.randint(2, shape[1] - 2)
+            ry, rx = r.randint(2, 5), r.randint(2, 5)
+            yy, xx = np.ogrid[: shape[0], : shape[1]]
+            blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1
+            lbl[blob & (lbl == 0)] = i + 1
+        return lbl
+
+    @pytest.mark.parametrize("seed", [0, 3])
+    def test_matches_pixel_list_oracle(self, seed):
+        from pctrans_tpu.data.diffusion import masks2flows
+
+        lbl = self._blobs(seed=seed)
+        got = masks2flows(lbl)[0]
+        want = self._oracle_masks2flows(lbl)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+        assert np.abs(got).max() > 0.5  # flows actually exist
+
+    def test_missing_label_id(self):
+        """A skipped id (reference: `si is None`) must not corrupt flows."""
+        from pctrans_tpu.data.diffusion import masks2flows
+
+        lbl = self._blobs(seed=1)
+        lbl[lbl == 2] = 0  # id 2 absent, id 3+ still present
+        got = masks2flows(lbl)[0]
+        want = self._oracle_masks2flows(lbl)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_empty_and_3d_and_dispatch(self):
+        from pctrans_tpu.data.diffusion import seg2diffgrads
+
+        assert seg2diffgrads(np.zeros((8, 8), np.int32)).shape == (2, 8, 8)
+        lbl3 = np.stack([self._blobs(0), self._blobs(1)])
+        out3 = seg2diffgrads(lbl3)
+        assert out3.shape == (2, 2, 24, 20)
+        np.testing.assert_allclose(out3[:, 1], seg2diffgrads(lbl3[1]),
+                                   atol=1e-6)
+        # seg_to_targets dispatch, incl. the '7-0' mask-channel variant
+        outs = st.seg_to_targets(self._blobs(2), ["7", "7-0"])
+        assert outs[0].shape == (2, 24, 20)
+        assert outs[1].shape == (3, 24, 20)
+        np.testing.assert_array_equal(outs[1][2], self._blobs(2) > 0)
