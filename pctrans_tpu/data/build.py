@@ -12,6 +12,7 @@ to jax as stacked numpy arrays.
 from __future__ import annotations
 
 import inspect
+import logging
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -142,7 +143,8 @@ class PrefetchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool, seed: int = 0,
                  num_workers: int = 4, prefetch: int = 2, drop_last: bool = True,
-                 loop: bool = True, pad_last: bool = False):
+                 loop: bool = True, pad_last: bool = False,
+                 max_instances: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -150,6 +152,10 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.pad_last = pad_last
         self.seed = seed
+        # instance-truncation guard: targets_from_labels silently drops ids
+        # > MODEL.MAX_INSTANCES from the loss, so count on host and warn
+        self.max_instances = int(max_instances)
+        self._truncation_warnings = 0
         self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.prefetch = max(int(prefetch), 1)
         try:
@@ -182,6 +188,21 @@ class PrefetchLoader:
             items = items + [items[-1]] * (self.batch_size - n_valid)
         batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
         batch["_num_valid"] = np.int32(n_valid)
+        if self.max_instances and "label" in batch:
+            # labels are consecutively relabeled per image, so max == count
+            counts = batch["label"].reshape(len(items), -1).max(axis=1)
+            over = counts > self.max_instances
+            if over.any():
+                self._truncation_warnings += 1
+                if self._truncation_warnings <= 5 or \
+                        self._truncation_warnings % 100 == 0:
+                    logging.getLogger(__name__).warning(
+                        "instance truncation: %d image(s) in this batch have "
+                        "up to %d instances but MODEL.MAX_INSTANCES is %d — "
+                        "instances beyond the cap are DROPPED from the loss "
+                        "(occurrence %d; raise MODEL.MAX_INSTANCES)",
+                        int(over.sum()), int(counts.max()),
+                        self.max_instances, self._truncation_warnings)
         return batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -244,4 +265,5 @@ def build_dataloader(cfg, mode: str, seed: int = 0, n_devices: int = 1) -> Prefe
         loop=train,
         drop_last=train,
         pad_last=not train,
+        max_instances=int(getattr(cfg.MODEL, "MAX_INSTANCES", 0) or 0),
     )

@@ -162,7 +162,12 @@ def merge_small_object(seg: np.ndarray, threshold: int = 5, window: int = 5) -> 
         pos_x, pos_y = np.where(seg == ids)
         cx = int(pos_x.sum() // pos_x.size) - window // 2
         cy = int(pos_y.sum() // pos_y.size) - window // 2
-        crop = seg[max(cx, 0) : cx + window, max(cy, 0) : cy + window]
+        # Raw python slicing exactly as the reference (trainer.py:761-766):
+        # a negative start wraps to the array end, so the crop around an
+        # instance within window//2 of the top/left border is (normally)
+        # empty and that instance is NOT merged.  Kept bit-identical — this
+        # function defines the CodaLab submission output.
+        crop = seg[cx : cx + window, cy : cy + window]
         t_uid, t_uc = np.unique(crop, return_counts=True)
         rank = np.argsort(-t_uc)
         if len(t_uc) > 2:

@@ -54,22 +54,30 @@ def ms_deform_attn(
     """Implementation dispatcher (the model-facing entry point).
 
     ``impl`` (or ``$PCTRANS_MSDA_IMPL``): ``matmul`` | ``pallas`` |
-    ``separable`` | ``gather`` | ``reference`` | ``auto``.
+    ``pallas2`` | ``separable`` | ``gather`` | ``reference`` | ``auto``.
 
-    ``auto`` picks the XLA hat-matmul everywhere — measured fastest on a
-    v5e at both the train and eval encoder shapes (tools_dev/bench_msda.py,
-    fwd ms/layer-call: matmul 1.4/12.5, pallas kernel 4.9/31, separable
-    5.1/36, patch gather 7.4/56).  The Pallas kernel (msdeform_pallas.py)
-    is validated and kept selectable; XLA's fusion of the rank-1 hat
-    generator into the MXU tiling is the thing to beat, and so far it wins.
+    ``auto`` picks the Pallas v2 kernel (msdeform_pallas2.py) on TPU and
+    the XLA hat-matmul elsewhere.  Measured fwd ms/layer-call on a v5e
+    (tools_dev/bench_msda.py, train 448^2 b2 / eval 530x500 b10):
+    pallas2 0.8/5.1, matmul 1.4/12.5 (MXU output-width-bound at D=16),
+    pallas v1 4.9/31 (grid-overhead-bound), separable 5.1/36 (stage-1
+    intermediate round-trips HBM), patch gather 7.4/56 (row-serial).
     """
     impl = impl or os.environ.get("PCTRANS_MSDA_IMPL", "auto")
     if impl == "auto":
-        impl = "matmul"
+        # The Pallas v2 kernel wins on TPU (eval layer-call 5.1 vs 12.3 ms,
+        # train 0.8 vs 1.4 — tools_dev/bench_msda.py); the XLA hat-matmul
+        # is the fallback for CPU and any non-TPU backend.
+        impl = "pallas2" if jax.default_backend() == "tpu" else "matmul"
     if impl == "pallas":
         from .msdeform_pallas import ms_deform_attn_core_pallas
 
         return ms_deform_attn_core_pallas(
+            value, tuple(spatial_shapes), sampling_locations, attention_weights)
+    if impl == "pallas2":
+        from .msdeform_pallas2 import ms_deform_attn_core_pallas2
+
+        return ms_deform_attn_core_pallas2(
             value, tuple(spatial_shapes), sampling_locations, attention_weights)
     fn = {
         "matmul": ms_deform_attn_core,

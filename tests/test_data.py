@@ -56,6 +56,42 @@ class TestPrefetchLoader:
             for b in batches:
                 assert b["image"].shape == (2, 16, 16, 3)
 
+    def test_truncation_guard_warns(self, caplog):
+        """Images with more instances than MODEL.MAX_INSTANCES must warn
+        (the excess is silently dropped from the loss otherwise)."""
+        import logging
+
+        class Dense:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                lbl = (np.arange(16 * 16, dtype=np.int32) % 131).reshape(16, 16)
+                return {"image": np.zeros((16, 16, 3), np.float32),
+                        "label": lbl}
+
+        loader = PrefetchLoader(Dense(), batch_size=2, shuffle=False,
+                                num_workers=2, loop=False, max_instances=128)
+        with caplog.at_level(logging.WARNING):
+            batches = list(iter(loader))
+        assert len(batches) == 2
+        assert any("instance truncation" in r.message for r in caplog.records)
+        assert any("130" in r.message for r in caplog.records)
+
+        # under the cap: silent
+        class Sparse(Dense):
+            def __getitem__(self, i):
+                return {"image": np.zeros((16, 16, 3), np.float32),
+                        "label": np.ones((16, 16), np.int32)}
+
+        loader = PrefetchLoader(Sparse(), batch_size=2, shuffle=False,
+                                num_workers=2, loop=False, max_instances=128)
+        caplog.clear()
+        with caplog.at_level(logging.WARNING):
+            list(iter(loader))
+        assert not any("instance truncation" in r.message
+                       for r in caplog.records)
+
     def test_infinite_loop_mode(self):
         ds = SyntheticDataset(size=(16, 16), length=4)
         loader = PrefetchLoader(ds, batch_size=2, shuffle=True, seed=0,

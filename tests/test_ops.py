@@ -326,6 +326,63 @@ class TestMSDeformAttnPallas:
             np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
+class TestMSDeformAttnPallas2:
+    """Pallas v2 kernel (lane-major separable) vs the torch oracle and the
+    reference path; interpret mode on CPU, compiled on real TPU."""
+
+    _random_inputs = TestMSDeformAttnPallas._random_inputs
+
+    def test_matches_torch_oracle(self, rng):
+        from pctrans_tpu.ops.msdeform_pallas2 import ms_deform_attn_core_pallas2
+
+        value, shapes, locs, attn = self._random_inputs(rng, D=16)
+        ours = np.asarray(
+            ms_deform_attn_core_pallas2(jnp.array(value), tuple(shapes),
+                                        jnp.array(locs), jnp.array(attn)))
+        ref = msda_torch_oracle(value, shapes, locs, attn)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_query_chunk_padding(self, rng):
+        """Lq not a multiple of the lane-chunk size."""
+        from pctrans_tpu.ops.msdeform_pallas2 import ms_deform_attn_core_pallas2
+
+        value, shapes, locs, attn = self._random_inputs(rng, Lq=13, D=16)
+        ours = np.asarray(
+            ms_deform_attn_core_pallas2(jnp.array(value), tuple(shapes),
+                                        jnp.array(locs), jnp.array(attn),
+                                        chunk=128))
+        ref = msda_torch_oracle(value, shapes, locs, attn)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_gradients_match_reference_path(self, rng):
+        from pctrans_tpu.ops.msdeform import ms_deform_attn_core_reference
+        from pctrans_tpu.ops.msdeform_pallas2 import ms_deform_attn_core_pallas2
+
+        value, shapes, locs, attn = self._random_inputs(rng, B=1, M=2, D=16,
+                                                        Lq=5)
+
+        def loss(core, v, l, a):
+            return (core(v, tuple(shapes), l, a) ** 2).sum()
+
+        g1 = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_pallas2, v, l, a),
+                      (0, 1, 2))(jnp.array(value), jnp.array(locs), jnp.array(attn))
+        g2 = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_reference, v, l, a),
+                      (0, 1, 2))(jnp.array(value), jnp.array(locs), jnp.array(attn))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_dispatcher_pallas2(self, rng):
+        from pctrans_tpu.ops.msdeform import ms_deform_attn
+
+        value, shapes, locs, attn = self._random_inputs(rng, D=16)
+        ref = msda_torch_oracle(value, shapes, locs, attn)
+        out = np.asarray(ms_deform_attn(jnp.array(value), shapes,
+                                        jnp.array(locs), jnp.array(attn),
+                                        impl="pallas2"))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 class TestAuctionLAP:
     """Jacobi auction solver vs scipy (the wide-iteration TPU alternative to
     the sequential JV solver; ops/lap.py solve_lap_auction)."""

@@ -113,6 +113,16 @@ class TestMergeSmallObject:
         assert (out != 2).all()
         assert out[9, 7] == 1
 
+    def test_border_crumb_not_merged(self):
+        """Reference parity (trainer.py:761-766): a crumb within window//2 of
+        the top/left border produces a negative slice start, hence an empty
+        crop and NO merge — behavior pinned for the CodaLab output path."""
+        seg = np.zeros((16, 16), np.int64)
+        seg[2:8, 2:14] = 1
+        seg[0, 3] = 2  # centroid row 0 -> pos_x = -2 -> empty crop
+        out = merge_small_object(seg.copy())
+        assert out[0, 3] == 2
+
     def test_fully_enclosed_tiny_instance_kept(self):
         # only 2 unique values in the window -> reference leaves it alone
         seg = np.zeros((16, 16), np.int64)

@@ -8,8 +8,11 @@ remote TPU relay, block_until_ready returns early).
 Usage: python tools_dev/bench_msda.py [train|eval|both]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +24,9 @@ from pctrans_tpu.ops.msdeform import (
     ms_deform_attn_core_separable,
 )
 from pctrans_tpu.ops.msdeform_pallas import ms_deform_attn_core_pallas
+from pctrans_tpu.ops.msdeform_pallas2 import ms_deform_attn_core_pallas2
+
+impl_filter = [a for a in sys.argv[2:]]
 
 ROUND_TRIP_S = 0.030
 
@@ -48,8 +54,11 @@ def bench_shape(name, B, H0, W0, dtype, iters=20):
         "matmul": ms_deform_attn_core,
         "separable": ms_deform_attn_core_separable,
         "pallas": lambda v, s, l, a: ms_deform_attn_core_pallas(v, tuple(s), l, a),
+        "pallas2": lambda v, s, l, a: ms_deform_attn_core_pallas2(v, tuple(s), l, a),
         "gather": ms_deform_attn_core_gather,
     }
+    if impl_filter:
+        impls = {k: v for k, v in impls.items() if k in impl_filter}
     print(f"== {name}: B={B} S={S} Lq={Lq} M={M} D={D} P={P} {dtype}")
     for iname, fn in impls.items():
         @jax.jit
