@@ -23,9 +23,12 @@ reference per-GPU recipe, README.md:30-34) the same way and reports it as
 
 Prints ONE JSON line.  ``vs_baseline``: the reference publishes no
 throughput numbers (BASELINE.md); the north-star target is >= 5x a
-reference A100 run.  Until a measured A100 denominator exists we report
-vs_baseline against a 20 img/s placeholder estimate for the torch reference
-(A100, batch 10, AMP) — to be replaced when a measured number lands.
+reference A100 run on a v5e-8.  The denominator is the documented estimate
+in BASELINE.md "Reference denominator" (Mask2Former R50 published V100 fps,
+scaled by pixel count / batch amortization / A100 ratio) — replace
+``REFERENCE_A100_IMG_PER_SEC`` when a measured number lands.  The line also
+reports XLA-counted ``gflops_per_image`` and ``mfu`` against the device's
+bf16 peak so the throughput claim is auditable without the denominator.
 """
 
 import json
@@ -35,8 +38,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_A100_IMG_PER_SEC = 20.0  # placeholder; see module docstring
+# Reference A100 denominator: the reference repo publishes no throughput and
+# cannot run in this image (no CUDA/detectron2).  BASELINE.md "Reference
+# denominator" derives a defensible estimate from the published Mask2Former
+# R50 V100 fps scaled by pixel count, batch-10 amortization and A100/V100
+# ratio: ~40-80 img/s; we anchor at the midpoint.  The >=5x north star is
+# defined against a TPU v5e-8 (8 chips); eval is data-parallel, so the
+# platform number is ~8x the single-chip throughput measured here.
+REFERENCE_A100_IMG_PER_SEC = 60.0  # estimated; basis in BASELINE.md
 ROUND_TRIP_S = 0.030               # measured host<->TPU relay round trip
+
+# bf16 MXU peak by device kind, TFLOP/s (public TPU specs)
+_PEAK_TFLOPS = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0,
+                "v5p": 459.0, "v6 lite": 918.0, "v6e": 918.0}
+
+
+def _device_peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_TFLOPS.items():
+        if key in kind:
+            return peak
+    return 197.0  # assume v5e-class
+
+
+def _xla_flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def _timed_loop(loop_fn, n_iters: int) -> float:
@@ -66,6 +98,17 @@ def bench_inference(dtype: str = "bfloat16", top_k: int = 50, iters: int = 10):
     )
     eval_step = make_eval_step(config, top_k=top_k)
 
+    # XLA-counted FLOPs of one eval step.  The Pallas ms-deform kernel is a
+    # custom call XLA counts as zero, so its matmul FLOPs are added
+    # analytically (stage-1 separable contraction, 2*B*M*Lq*P*D*S per
+    # encoder layer; see ops/msdeform_pallas2.py).
+    flops = _xla_flops(jax.jit(eval_step).lower(state, x).compile())
+    if flops:
+        # per layer: sum_l 2*B*M*(Lq*P)*W_l*(H_l*D) = 2*B*M*Lq*P*D*S, Lq == S
+        M, D, P, layers = 8, 16, 4, 6
+        S = sum(-(-H // s) * -(-W // s) for s in (8, 16, 32))
+        flops += 2.0 * B * M * S * P * D * S * layers
+
     @jax.jit
     def loop(c):
         def body(i, c):
@@ -75,7 +118,7 @@ def bench_inference(dtype: str = "bfloat16", top_k: int = 50, iters: int = 10):
         return jax.lax.fori_loop(0, iters, body, c)
 
     dt = _timed_loop(loop, iters)
-    return B / dt
+    return B / dt, flops / B if flops else None, dt
 
 
 def bench_train(dtype: str = "bfloat16", iters: int = 5):
@@ -126,7 +169,7 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
 
 
 def main():
-    img_per_sec = bench_inference()
+    img_per_sec, flops_per_img, _ = bench_inference()
     try:
         train_ips = bench_train()
     except Exception:
@@ -137,7 +180,15 @@ def main():
         "value": round(img_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / REFERENCE_A100_IMG_PER_SEC, 3),
+        "vs_baseline_basis": (
+            "estimated A100 %.0f img/s (BASELINE.md 'Reference denominator'); "
+            "north star is v5e-8, ~8x this single-chip number"
+            % REFERENCE_A100_IMG_PER_SEC),
     }
+    if flops_per_img:
+        peak = _device_peak_tflops() * 1e12
+        out["gflops_per_image"] = round(flops_per_img / 1e9, 1)
+        out["mfu"] = round(flops_per_img * img_per_sec / peak, 4)
     if train_ips is not None:
         out["train_img_per_sec"] = round(train_ips, 3)
     print(json.dumps(out))

@@ -56,19 +56,28 @@ class SyntheticDataset:
     """Finite synthetic dataset with deterministic content per index."""
 
     def __init__(self, size=(448, 448), length: int = 64, seed: int = 0,
-                 n_instances=(4, 12)):
+                 n_instances=(4, 12), cache: bool = True):
         self.size = tuple(size)
         self.length = length
         self.seed = seed
         self.n_instances = n_instances
+        # content is deterministic per index, so memoize: at the production
+        # recipe the single host CPU otherwise regenerates each 448^2 image
+        # (~tens of ms) every epoch and can starve the TPU train step
+        self._cache: dict = {} if cache else None
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, idx: int):
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         rng = np.random.RandomState(self.seed * 100003 + idx)
         img, label = make_blob_image(rng, self.size, self.n_instances)
-        return {"image": img, "label": label}
+        item = {"image": img, "label": label}
+        if self._cache is not None:
+            self._cache[idx] = item
+        return item
 
 
 def batch_iterator(dataset, batch_size: int, rng: np.random.RandomState,

@@ -51,6 +51,7 @@ class MSDeformAttn(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dtype: jnp.dtype = jnp.float32
+    train: bool = True
 
     @nn.compact
     def __call__(
@@ -96,7 +97,11 @@ class MSDeformAttn(nn.Module):
             reference_points[:, :, None, :, None, :].astype(jnp.float32)
             + offsets / normalizer[None, None, None, :, None, :]
         )
-        out = ms_deform_attn(value, spatial_shapes, locations, attn)
+        # fwd-only eval runs the Pallas v2 kernel; training keeps the XLA
+        # hat-matmul whose AD backward is currently faster end-to-end
+        # (tools_dev/bench_msda.py: fwd+bwd 2.28 vs 2.47 ms/layer)
+        out = ms_deform_attn(value, spatial_shapes, locations, attn,
+                             impl="auto_train" if self.train else "auto")
         return nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
                         name="output_proj")(out)
 
@@ -108,12 +113,13 @@ class MSDeformAttnEncoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     dtype: jnp.dtype = jnp.float32
+    train: bool = True
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes):
         attn = MSDeformAttn(
             self.d_model, self.n_levels, self.n_heads, self.n_points,
-            dtype=self.dtype, name="self_attn"
+            dtype=self.dtype, train=self.train, name="self_attn"
         )(src + pos, reference_points, src, spatial_shapes)
         src = nn.LayerNorm(name="norm1")(src + attn)
         y = nn.Dense(self.d_ffn, kernel_init=_XAVIER, dtype=self.dtype, name="linear1")(src)
@@ -201,7 +207,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
         for i in range(self.transformer_layers):
             y = layer_cls(
                 self.conv_dim, self.d_ffn, len(tif), self.n_heads, self.n_points,
-                dtype=dtype, name=f"encoder_layer{i}",
+                dtype=dtype, train=self.train, name=f"encoder_layer{i}",
             )(y, pos_flat, refs, spatial_shapes)
 
         # split back into maps

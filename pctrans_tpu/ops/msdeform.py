@@ -63,12 +63,16 @@ def ms_deform_attn(
     pallas v1 4.9/31 (grid-overhead-bound), separable 5.1/36 (stage-1
     intermediate round-trips HBM), patch gather 7.4/56 (row-serial).
     """
-    impl = impl or os.environ.get("PCTRANS_MSDA_IMPL", "auto")
+    impl = os.environ.get("PCTRANS_MSDA_IMPL") or impl or "auto"
     if impl == "auto":
-        # The Pallas v2 kernel wins on TPU (eval layer-call 5.1 vs 12.3 ms,
-        # train 0.8 vs 1.4 — tools_dev/bench_msda.py); the XLA hat-matmul
-        # is the fallback for CPU and any non-TPU backend.
+        # The Pallas v2 kernel wins on TPU for forward-only use (eval
+        # layer-call 5.1 vs 12.3 ms — tools_dev/bench_msda.py); the XLA
+        # hat-matmul is the fallback for CPU and any non-TPU backend.
         impl = "pallas2" if jax.default_backend() == "tpu" else "matmul"
+    elif impl == "auto_train":
+        # under AD the hat-matmul's fused fwd+bwd still wins end-to-end
+        # (2.28 vs 2.47 ms/layer at the train shapes)
+        impl = "matmul"
     if impl == "pallas":
         from .msdeform_pallas import ms_deform_attn_core_pallas
 
