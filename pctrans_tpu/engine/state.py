@@ -64,7 +64,13 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
-        targets = targets_from_labels(batch["label"], max_instances)
+        # host batches may arrive in narrow transfer dtypes (f16 images /
+        # int16 labels: the trainer halves host->device bytes, which is
+        # ~0.2 s/step through this environment's remote-TPU relay); widen
+        # on device before any compute
+        images = batch["image"].astype(jnp.float32)
+        labels = batch["label"].astype(jnp.int32)
+        targets = targets_from_labels(labels, max_instances)
 
         has_bn = bool(state.batch_stats)
 
@@ -72,9 +78,9 @@ def make_train_step(
             variables = {"params": params, "frozen": state.frozen}
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
-                out, mut = model.apply(variables, batch["image"], mutable=["batch_stats"])
+                out, mut = model.apply(variables, images, mutable=["batch_stats"])
             else:
-                out = model.apply(variables, batch["image"])
+                out = model.apply(variables, images)
                 mut = {}
             total, losses = criterion(step_rng, out, targets)
             return total, (losses, mut)

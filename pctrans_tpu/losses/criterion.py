@@ -115,6 +115,10 @@ def build_criterion(cfg) -> "SetCriterion":
             emb_weight=mf.EMB_WEIGHT,
             sem_loss_on=mf.SEMANTIC_LOSS_ON,
             dec_layers=mf.DEC_LAYERS,
+            sample_dtype=mf.TPU_RECIPE.SAMPLE_DTYPE,
+            exact_targets=mf.TPU_RECIPE.EXACT_TARGETS,
+            point_select=mf.TPU_RECIPE.POINT_SELECT,
+            candidate_ratio=mf.TPU_RECIPE.CANDIDATE_RATIO,
         )
     )
 

@@ -56,6 +56,10 @@ class ModelConfig:
     # Neutral defaults keep programmatic ModelConfig() use untouched.
     pixel_mean: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     pixel_std: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    # Emit reference-layout stride-2 mask logits (2x bilinear upsample of
+    # the stride-4 render) instead of the TPU default stride-4; see
+    # transformer_decoder.MultiScaleMaskedTransformerDecoder.upsample2x.
+    upsample2x: bool = False
     # Rematerialize encoder/decoder layers in the backward pass (HBM for
     # FLOPs: without it the 448^2 batch-2 train step needs ~18G of 16G HBM).
     remat: bool = True
@@ -104,6 +108,7 @@ def build_model_config(cfg) -> ModelConfig:
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype="bfloat16" if cfg.MODEL.MIXED_PRECESION else "float32",
+        upsample2x=cfg.MODEL.MASK_FORMER.TPU_RECIPE.UPSAMPLE2X,
         **swin_kwargs,
     )
 
@@ -212,6 +217,7 @@ class PCTransModel(nn.Module):
             sem_loss_on=c.sem_loss_on,
             sem_norm=c.head_norm,
             rel_coord=c.rel_coord,
+            upsample2x=c.upsample2x,
             train=self.train,
             axis_name=self.axis_name,
             dtype=dtype,

@@ -78,7 +78,11 @@ class Monitor:
             self.tb.add_scalar("lr", lr, iteration)
             for k, v in scalars.items():
                 self.tb.add_scalar(k, float(v), iteration)
-        avg = (now - self._t0) / max(iteration, 1)
+        # marginal rate since the previous log line: the cumulative average
+        # is dominated by the initial jit compile for thousands of steps
+        d_iter = iteration - getattr(self, "_last_iter", 0)
+        avg = (now - self._last) / max(d_iter, 1)
+        self._last_iter = iteration
         eta_h = avg * max((total_iters or 0) - iteration, 0) / 3600.0
         loss = scalars.get("loss", float("nan"))
         print(
