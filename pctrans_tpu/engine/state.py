@@ -100,7 +100,8 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None) -> Callable:
+def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None,
+                   threshold: Optional[float] = None) -> Callable:
     """Returns eval_step(state, images) following the reference protocol
     (arch/maskformer.py:210-219): mask logits upsampled to input resolution,
     then sigmoid.
@@ -115,6 +116,13 @@ def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None) -> Ca
     (probs [B, K, H, W], peak_logits [B, K]) — callers can verify K was
     large enough by checking peak_logits[:, -1] against the threshold logit.
     Without ``top_k``: probs [B, Q, H, W] (exact reference semantics).
+
+    With ``threshold`` set, masks are binarized ON DEVICE at the postprocess
+    threshold (logit-space comparison, exact w.r.t. sigmoid monotonicity)
+    and returned as uint8 — every downstream consumer
+    (instance_inference_*, mask_post, merge_func) re-thresholds
+    ``probs > t`` anyway, and uint8 quarters the device->host transfer
+    (~530 MB of f32 per CVPPP eval batch over this environment's relay).
     """
     model = PCTransModel(config=model_config, train=False)
     from ..ops.resize import resize_bilinear
@@ -130,9 +138,15 @@ def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None) -> Ca
             peak = masks.max(axis=(2, 3))                      # [B, Q]
             top_peak, idx = jax.lax.top_k(peak, top_k)         # [B, K]
             masks = jnp.take_along_axis(masks, idx[:, :, None, None], axis=1)
-            masks = resize_bilinear(masks, (H, W))
-            return jax.nn.sigmoid(masks), top_peak
+            peaks = top_peak
+        else:
+            peaks = masks.max(axis=(2, 3))
         masks = resize_bilinear(masks, (H, W))
-        return jax.nn.sigmoid(masks), masks.max(axis=(2, 3))
+        if threshold is not None:
+            import math as _math
+
+            logit_t = _math.log(threshold / (1.0 - threshold))
+            return (masks > logit_t).astype(jnp.uint8), peaks
+        return jax.nn.sigmoid(masks), peaks
 
     return eval_step

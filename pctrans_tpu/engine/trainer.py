@@ -112,6 +112,16 @@ class Trainer:
         self._eval_step = jax.jit(
             make_eval_step(self.model_config, top_k=top_k if top_k > 0 else None)
         )
+        # metric paths re-threshold probs anyway: a second eval step
+        # binarizes on device at the dataset's postprocess threshold and
+        # ships uint8 (4x less device->host transfer; exact, see
+        # state.make_eval_step)
+        self._bin_threshold = 0.05 if cfg.DATASET.DATA_TYPE == "BBBC" else 0.69
+        self._eval_step_bin = jax.jit(
+            make_eval_step(self.model_config,
+                           top_k=top_k if top_k > 0 else None,
+                           threshold=self._bin_threshold)
+        )
 
         if mode == "train":
             self.monitor = build_monitor(cfg)
@@ -284,13 +294,17 @@ class Trainer:
         above-threshold masks — warn so the run is auditable."""
         if self.tta is not None:
             # flip/transpose ensemble over the full forward (reference
-            # TestAugmentor; built in test mode, trainer.py:78-81)
+            # TestAugmentor; built in test mode, trainer.py:78-81) —
+            # averaging needs real probabilities, not binarized masks
             def fwd(x):
                 p, _ = self._eval_step(self.state, jnp.asarray(x))
                 return np.asarray(p)
 
             return self.tta(fwd, np.asarray(images))
-        probs, peaks = self._eval_step(self.state, jnp.asarray(images))
+        if threshold is not None and threshold == self._bin_threshold:
+            probs, peaks = self._eval_step_bin(self.state, jnp.asarray(images))
+        else:
+            probs, peaks = self._eval_step(self.state, jnp.asarray(images))
         probs = np.asarray(probs)
         if threshold is not None and probs.shape[1] < self.model_config.num_queries:
             peak_p = 1.0 / (1.0 + np.exp(-np.asarray(peaks)[:, -1]))
