@@ -25,6 +25,7 @@ from pctrans_tpu.models.legacy import (
     repvgg_convert,
 )
 from pctrans_tpu.models.legacy.blocks import linear_resize
+from jit_helpers import jit_apply, jit_init, run_init_apply
 
 F2 = (4, 5)            # tiny 2-stage filters for 2D tests
 F3 = (4, 5, 6)
@@ -32,9 +33,7 @@ ISO3 = (False, True, True)
 
 
 def _init_apply(model, x, train=False):
-    variables = model.init(jax.random.key(0), x)
-    out = model.apply(variables, x)
-    return out
+    return run_init_apply(model, x)
 
 
 class TestLinearResize:
@@ -118,13 +117,13 @@ class TestRepVGGDeploy:
         x = jax.random.normal(jax.random.key(2), (1, 3, 12, 12, 2))
         train_model = RepVGG3D(filters=F3, blocks=(1, 2), isotropy=ISO3,
                                deploy=False, train=False)
-        variables = train_model.init(rng, x)
-        out_train = train_model.apply(variables, x)
+        variables = jit_init(train_model, x, seed=1)
+        out_train = jit_apply(train_model, variables, x)
 
         deploy_params = repvgg_convert(variables)
         deploy_model = RepVGG3D(filters=F3, blocks=(1, 2), isotropy=ISO3,
                                 deploy=True, train=False)
-        out_deploy = deploy_model.apply(deploy_params, x)
+        out_deploy = jit_apply(deploy_model, deploy_params, x)
         for k in out_train:
             np.testing.assert_allclose(np.asarray(out_train[k]),
                                        np.asarray(out_deploy[k]),
@@ -166,8 +165,7 @@ class TestAltDecoders:
 
         model = BasePixelDecoder(conv_dim=8, mask_dim=4, norm="", train=False)
         feats = self._features()
-        variables = model.init(jax.random.key(0), feats)
-        mask_features, enc, ms = model.apply(variables, feats)
+        mask_features, enc, ms = run_init_apply(model, feats)
         assert mask_features.shape == (1, 16, 16, 4)
         assert enc is None
         assert len(ms) == 3
@@ -181,8 +179,7 @@ class TestAltDecoders:
             conv_dim=8, mask_dim=4, norm="", nheads=2, d_ffn=16,
             transformer_enc_layers=1, train=False)
         feats = self._features()
-        variables = model.init(jax.random.key(0), feats)
-        mask_features, enc, ms = model.apply(variables, feats)
+        mask_features, enc, ms = run_init_apply(model, feats)
         assert mask_features.shape == (1, 16, 16, 4)
         assert enc.shape == (1, 2, 2, 8)        # transformer output on res5
         assert len(ms) == 3
@@ -196,8 +193,7 @@ class TestAltDecoders:
             train=False)
         x = jnp.zeros((1, 4, 4, 8))
         mf = jnp.zeros((1, 16, 16, 4))
-        variables = model.init(jax.random.key(0), x, mf)
-        out = model.apply(variables, x, mf)
+        out = run_init_apply(model, x, mf)
         assert out["pred_masks"].shape == (1, 5, 16, 16)
         assert out["pred_logits"].shape == (1, 5, 2)
         assert len(out["aux_masks"]) == 2
@@ -212,16 +208,14 @@ class TestAltDecoders:
                 num_classes=3, conv_dim=8, mask_dim=4, norm="",
                 hidden_dim=8, nheads=2, d_ffn=16, enc_layers=1, dec_layers=2,
                 train=False)
-            variables = model.init(jax.random.key(0), feats)
-            out = model.apply(variables, feats)
+            out = run_init_apply(model, feats)
             assert out["pred_masks"].shape == (1, 3, 16, 16)
         else:
             from pctrans_tpu.models.per_pixel import PerPixelBaselineHead
 
             model = PerPixelBaselineHead(num_classes=3, conv_dim=8, mask_dim=4,
                                          norm="", train=False)
-            variables = model.init(jax.random.key(0), feats)
-            out = model.apply(variables, feats)
+            out = run_init_apply(model, feats)
             assert out.shape == (1, 3, 16, 16)
 
 
@@ -235,8 +229,7 @@ class TestSwin:
                                 num_heads=(2, 2, 2, 2), window_size=4,
                                 drop_path_rate=0.0, train=False)
         x = jnp.zeros((1, 64, 64, 3))
-        variables = model.init(jax.random.key(0), x)
-        outs = model.apply(variables, x)
+        outs = run_init_apply(model, x)
         assert outs["res2"].shape == (1, 16, 16, 8)
         assert outs["res3"].shape == (1, 8, 8, 16)
         assert outs["res4"].shape == (1, 4, 4, 32)
@@ -253,8 +246,7 @@ class TestSwin:
                                 window_size=4, drop_path_rate=0.0,
                                 out_features=("res2",), train=False)
         x = jnp.zeros((1, 36, 44, 3))  # 9x11 patches, not window multiples
-        variables = model.init(jax.random.key(0), x)
-        outs = model.apply(variables, x)
+        outs = run_init_apply(model, x)
         assert outs["res2"].shape == (1, 9, 11, 8)
 
     def test_pctrans_with_swin_backbone(self):
@@ -269,8 +261,7 @@ class TestSwin:
             swin_window_size=4, swin_drop_path=0.0, remat=False)
         model = PCTransModel(config=config, train=False)
         x = jnp.zeros((1, 64, 64, 3))
-        variables = model.init(jax.random.key(0), x)
-        out = model.apply(variables, x)
+        out = run_init_apply(model, x)
         assert out["pred_masks"].shape == (1, 5, 16, 16)
 
 
@@ -282,8 +273,7 @@ class TestExtraBackbones:
                          isotropy=(False, False, True, True, True),
                          train=False)
         x = jnp.zeros((1, 4, 32, 32, 1))
-        variables = model.init(jax.random.key(0), x)
-        feats = model.apply(variables, x)
+        feats = run_init_apply(model, x)
         assert feats["feat1"].shape == (1, 4, 32, 32, 4)
         assert feats["feat4"].shape[-1] == 8
         assert feats["feat5"].shape == (1, feats["feat4"].shape[1],
@@ -298,8 +288,7 @@ class TestExtraBackbones:
                                isotropy=(False, False, False, True, True),
                                train=False)
         x = jnp.zeros((1, 8, 32, 32, 1))
-        variables = model.init(jax.random.key(0), x)
-        feats = model.apply(variables, x)
+        feats = run_init_apply(model, x)
         assert feats["feat1"].shape == (1, 8, 32, 32, 4)
         assert feats["feat5"].shape[-1] == 8
         # strides 1/2/2/(1,2,2)/2 -> z halves three times, xy four times
@@ -324,8 +313,7 @@ class TestDiscriminator:
         model = Discriminator3D(filters=(4, 4, 8), isotropy=(False, True, True),
                                 stride_list=(2, 2, 1), train=False)
         x = jnp.zeros((1, 4, 32, 32, 1))
-        variables = model.init(jax.random.key(0), x)
-        out = model.apply(variables, x)
+        out = run_init_apply(model, x)
         assert out.shape[0] == 1 and out.shape[-1] == 1
         assert out.shape[2] < 32  # spatially downsampled patch map
         loss = GANLoss("lsgan")(jnp.ravel(out), True)

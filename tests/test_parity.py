@@ -28,6 +28,7 @@ import numpy as np
 import pytest
 import torch
 import torch.nn.functional as F
+from jit_helpers import jit_apply, jit_init
 
 from pctrans_tpu.models.transformer_decoder import (
     CrossAttentionLayer,
@@ -86,11 +87,12 @@ class TestCrossAttentionParity:
         # avoid fully-masked rows (the flax model resets them upstream)
         bias[:, :, 0] = 0.0
 
-        variables = layer.init(jax.random.key(0), *map(jnp.asarray,
-                               (tgt, memory, pos, query_pos, sine, bias)),
-                               is_first)
-        ours = np.asarray(layer.apply(variables, *map(jnp.asarray,
-                          (tgt, memory, pos, query_pos, sine, bias)), is_first))
+        variables = jit_init(layer, *map(jnp.asarray,
+                             (tgt, memory, pos, query_pos, sine, bias)),
+                             static=(is_first,))
+        ours = np.asarray(jit_apply(layer, variables, *map(jnp.asarray,
+                          (tgt, memory, pos, query_pos, sine, bias)),
+                          static=(is_first,)))
 
         p = variables["params"]
         t_tgt, t_mem, t_pos, t_qpos, t_sine = map(
@@ -121,10 +123,10 @@ class TestSelfAttentionParity:
         layer = SelfAttentionLayer(D, H_HEADS)
         tgt = RS.randn(2, Q, D).astype(np.float32)
         query_pos = RS.randn(2, Q, D).astype(np.float32)
-        variables = layer.init(jax.random.key(1), jnp.asarray(tgt),
-                               jnp.asarray(query_pos))
-        ours = np.asarray(layer.apply(variables, jnp.asarray(tgt),
-                                      jnp.asarray(query_pos)))
+        variables = jit_init(layer, jnp.asarray(tgt), jnp.asarray(query_pos),
+                             seed=1)
+        ours = np.asarray(jit_apply(layer, variables, jnp.asarray(tgt),
+                                    jnp.asarray(query_pos)))
         p = variables["params"]
         t_tgt, t_qpos = torch.from_numpy(tgt), torch.from_numpy(query_pos)
         q = lin(p["sa_qcontent_proj"])(t_tgt) + lin(p["sa_qpos_proj"])(t_qpos)
@@ -155,10 +157,10 @@ class TestDynamicMaskParity:
 
         ms = [jnp.zeros((B, 4, 4, D)), jnp.zeros((B, 8, 8, D)),
               jnp.zeros((B, 16, 16, D))]
-        variables = dec.init(jax.random.key(2), ms, jnp.zeros((B, Hm, Wm, D)))
-        logits, attn_bias = dec.apply(
-            variables, jnp.asarray(mask_feat), jnp.asarray(refs),
-            jnp.asarray(params), (4, 4),
+        variables = jit_init(dec, ms, jnp.zeros((B, Hm, Wm, D)), seed=2)
+        logits, attn_bias = jit_apply(
+            dec, variables, jnp.asarray(mask_feat), jnp.asarray(refs),
+            jnp.asarray(params), static=((4, 4),),
             method=MultiScaleMaskedTransformerDecoder.dynamic_mask_with_coords)
         logits = np.asarray(logits)
 
@@ -209,9 +211,9 @@ class TestDecoderChainParity:
         mlp = MLP(D, 2, 3)
         x = RS.randn(2, Q, D).astype(np.float32)
         ref = RS.rand(2, Q, 2).astype(np.float32)
-        variables = mlp.init(jax.random.key(3), jnp.asarray(x))
+        variables = jit_init(mlp, jnp.asarray(x), seed=3)
         new_ref = np.asarray(jax.nn.sigmoid(
-            mlp.apply(variables, jnp.asarray(x))
+            jit_apply(mlp, variables, jnp.asarray(x))
             + inverse_sigmoid(jnp.asarray(ref))))
 
         p = variables["params"]

@@ -26,6 +26,7 @@ from pctrans_tpu.models.transformer_decoder import (
     compute_locations,
 )
 from test_parity import lin, layernorm, mha_2d_vdim
+from jit_helpers import jit_apply, jit_init
 
 # tiny but fully-featured config: 4 layers wraps the 3-level round-robin
 D, HEADS, NQ, LAYERS, FFN, CM, CH = 32, 4, 8, 4, 64, 8, 8
@@ -261,8 +262,7 @@ class TestWholeDecoderParity:
         feats = [RS.randn(B, h, w, D).astype(np.float32) for h, w in SIZES]
         mask_features = RS.randn(B, HM, WM, D).astype(np.float32)
 
-        variables = dec.init(jax.random.key(0),
-                             [jnp.asarray(f) for f in feats],
+        variables = jit_init(dec, [jnp.asarray(f) for f in feats],
                              jnp.asarray(mask_features))
         # non-trivial weights: init then perturb deterministically so no
         # zero-initialized head hides a wiring bug
@@ -271,7 +271,7 @@ class TestWholeDecoderParity:
                 np.random.RandomState(a.size % 9973).randn(*a.shape)
                 * 0.05).astype(a.dtype),
             variables)
-        out = dec.apply(variables, [jnp.asarray(f) for f in feats],
+        out = jit_apply(dec, variables, [jnp.asarray(f) for f in feats],
                         jnp.asarray(mask_features))
 
         p = jax.tree.map(np.asarray, variables["params"])
