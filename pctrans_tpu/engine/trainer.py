@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -122,6 +122,10 @@ class Trainer:
                            top_k=top_k if top_k > 0 else None,
                            threshold=self._bin_threshold)
         )
+        self._top_k = top_k
+        # lazily-compiled full-Q fallbacks for batches where TOP_K proved
+        # lossy (see predict_probs); dict keyed by binarize threshold
+        self._eval_step_full: Dict[Optional[float], Callable] = {}
 
         if mode == "train":
             self.monitor = build_monitor(cfg)
@@ -289,9 +293,16 @@ class Trainer:
     # ------------------------------------------------------------------
     def predict_probs(self, images: np.ndarray, threshold: Optional[float] = None) -> np.ndarray:
         """images [B, H, W, 3] -> sigmoid mask probabilities [B, K, H, W]
-        (K = INFERENCE.TOP_K or all queries).  If ``threshold`` is given and
-        the lowest kept peak still clears it, TOP_K may have dropped
-        above-threshold masks — warn so the run is auditable."""
+        (K = INFERENCE.TOP_K or all queries).
+
+        The TOP_K peak-logit filter is exact only while at most K queries
+        clear the postprocess ``threshold``; a model with duplicate query
+        peaks (common early in training) silently loses whole instances
+        otherwise.  When the *lowest kept* peak still clears the threshold
+        the filter was provably lossy, so this re-runs the batch with a
+        lazily-compiled full-Q eval step — exact reference semantics
+        (maskformer.py:210-219) at any training stage, while converged
+        models keep the lean K-mask transfer."""
         if self.tta is not None:
             # flip/transpose ensemble over the full forward (reference
             # TestAugmentor; built in test mode, trainer.py:78-81) —
@@ -301,22 +312,20 @@ class Trainer:
                 return np.asarray(p)
 
             return self.tta(fwd, np.asarray(images))
-        if threshold is not None and threshold == self._bin_threshold:
-            probs, peaks = self._eval_step_bin(self.state, jnp.asarray(images))
-        else:
-            probs, peaks = self._eval_step(self.state, jnp.asarray(images))
-        probs = np.asarray(probs)
+        binarized = threshold is not None and threshold == self._bin_threshold
+        step = self._eval_step_bin if binarized else self._eval_step
+        probs, peaks = step(self.state, jnp.asarray(images))
         if threshold is not None and probs.shape[1] < self.model_config.num_queries:
             peak_p = 1.0 / (1.0 + np.exp(-np.asarray(peaks)[:, -1]))
             if (peak_p > threshold).any():
-                import warnings
-
-                warnings.warn(
-                    f"INFERENCE.TOP_K={probs.shape[1]} may be too small: the "
-                    f"lowest kept peak prob {peak_p.max():.3f} exceeds the "
-                    f"postprocess threshold {threshold}; raise TOP_K."
-                )
-        return probs
+                key = self._bin_threshold if binarized else None
+                if key not in self._eval_step_full:
+                    self._eval_step_full[key] = jax.jit(
+                        make_eval_step(self.model_config, top_k=None,
+                                       threshold=key))
+                probs, _ = self._eval_step_full[key](self.state,
+                                                     jnp.asarray(images))
+        return np.asarray(probs)
 
     def eval_cvppp(self, loader=None, model_name: str = "model") -> Dict[str, float]:
         loader = loader or build_dataloader(self.cfg, "val")

@@ -111,6 +111,26 @@ class TestTrainerLoop:
             first = f["A1"][plants[0]]["label"]
             assert first.shape == (32, 32)
 
+    def test_top_k_exact_fallback(self, tmp_path):
+        """TOP_K peak filtering is lossy when > K queries clear the
+        postprocess threshold (duplicate peaks, common mid-training); in
+        that case predict_probs must re-run with ALL queries so no
+        above-threshold instance mask is dropped (exact reference
+        semantics, maskformer.py:210-219)."""
+        cfg = tiny_cfg(tmp_path)  # TOP_K = 4 of 10 queries
+        cfg.freeze()
+        trainer = Trainer(cfg, mode="test")
+        imgs = np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32)
+
+        # near-zero threshold: every kept peak clears it -> provably lossy
+        # -> fallback returns all 10 query masks
+        probs = trainer.predict_probs(imgs, threshold=1e-4)
+        assert probs.shape[1] == cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
+
+        # near-one threshold: nothing clears it -> lean K-mask path kept
+        probs = trainer.predict_probs(imgs, threshold=1.0 - 1e-6)
+        assert probs.shape[1] == cfg.INFERENCE.TOP_K
+
     def test_tta_wiring(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         cfg.INFERENCE.AUG_MODE = "mean"
