@@ -396,21 +396,17 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
                 x = (jnp.einsum("bso,bqco->bqcs", feats, w1.astype(dtype))
                      + b1[..., None]).astype(dtype)
             x = nn.relu(x)
-            # conv layers 2+3 as ONE fused elementwise pass: the einsum form
-            # lowers to two more HBM round trips of the [B, Q, ch, HW]
-            # tensor (~0.5 GB/render at eval shapes); with ch = 8 the
-            # contractions unroll into a broadcast-multiply DAG XLA fuses
-            # into a single read of x and a single write of the output.
-            ch_ = w2.shape[-1]
-            w2d = w2.astype(dtype)
-            w3d = w3.astype(dtype)
-            y = b3.astype(dtype)                               # [B, Q, 1]
-            for cp in range(ch_):
-                acc = b2[..., cp, None].astype(dtype)          # [B, Q, 1]
-                for ci in range(ch_):
-                    acc = acc + w2d[..., cp, ci, None] * x[..., ci, :]
-                y = y + w3d[..., 0, cp, None] * nn.relu(acc)   # [B, Q, HW]
-            return y.reshape(B, Q, Hm, Wm).astype(jnp.float32)
+            # conv layers 2+3 as batched einsums.  (A hand-unrolled
+            # "fused elementwise" variant — 64 broadcast-multiply terms —
+            # was tried to save the two [B, Q, ch, HW] HBM round trips,
+            # but measured 115.6 ms vs 75.7 ms for the whole eval step on
+            # v5e: XLA schedules the unrolled DAG as many small fusions
+            # that re-read x, while the einsum contractions hit the MXU.)
+            x = nn.relu(jnp.einsum("bqos,bqco->bqcs", x, w2.astype(dtype))
+                        + b2[..., None].astype(dtype))
+            x = (jnp.einsum("bqos,bqco->bqcs", x, w3.astype(dtype))
+                 + b3[..., None].astype(dtype))
+            return x.reshape(B, Q, Hm, Wm).astype(jnp.float32)
 
         if self.remat:  # the [B, Q, ch, HW] tensors dominate decoder memory
             render = jax.checkpoint(render)
