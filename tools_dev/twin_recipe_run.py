@@ -26,6 +26,15 @@ COMMON = [
     "--config-file", "configs/CVPPP/CVPPP-PCTrans.yaml",
 ]
 
+# Random-init conditioning (runs/RUNS.md synth_cvppp_r2): synthetic images
+# are already ~unit-scale floats and there are no pretrained frozen BN
+# statistics, so the recipe's PIXEL_STD 255 / FrozenBN assumptions don't
+# apply.  Both arms share these, so the estimator comparison is unaffected.
+COMMON_OPTS = [
+    "MODEL.PIXEL_STD", "[1.0,1.0,1.0]",
+    "MODEL.RESNETS.NORM", "BN",
+]
+
 EXACT = [
     "MODEL.MASK_FORMER.TPU_RECIPE.POINT_SELECT", "exact",
     "MODEL.MASK_FORMER.TPU_RECIPE.CANDIDATE_RATIO", "3.0",
@@ -44,6 +53,7 @@ def run(name, iters, val_every, extra):
            "SOLVER.ITERATION_VAL", str(val_every),
            "SOLVER.ITERATION_SAVE", str(iters),
            "SOLVER.START_SAVE", str(iters),
+           *COMMON_OPTS,
            *extra]
     print(f"=== twin run '{name}': {' '.join(cmd[2:])}", flush=True)
     subprocess.run(cmd, cwd=REPO, check=True)
