@@ -58,14 +58,40 @@ local = {k: v[rank * 2:(rank + 1) * 2] for k, v in global_batch.items()}
 
 mesh = create_mesh()
 assert mesh.devices.size == 4
+
+# The gloo CPU-collective context has a hard 30 s key-value rendezvous
+# timeout at first use, but on this loaded 1-CPU host the workers' import +
+# setup phases skew by minutes.  Rendezvous at coordination-service barriers
+# (plain KV store, long deadline, no gloo) before every gloo first-use:
+# ``replicate``'s multi-process device_put allgathers immediately, and the
+# compiled step's collectives run at execution.  Rank 1 additionally waits
+# for rank 0 to populate the persistent compile cache so the expensive
+# compile happens once instead of contending for the single CPU.
+from jax._src.distributed import global_state
+client = global_state.client
+client.wait_at_barrier("pctrans_mh_setup", 900_000)
+
 with mesh:
     state = replicate(mesh, state)
     batch = shard_batch(mesh, local)   # process-local -> global array
     assert batch["image"].shape[0] == 4
     step = jax.jit(make_train_step(TINY, SetCriterion(CRIT), tx,
                                    max_instances=8))
-    _, metrics = step(state, batch, jax.random.key(0))
+
+    key0 = jax.random.key(0)
+    if rank == 1:
+        client.wait_at_barrier("pctrans_mh_compiled", 900_000)
+    compiled = step.lower(state, batch, key0).compile()
+    if rank == 0:
+        client.wait_at_barrier("pctrans_mh_compiled", 900_000)
+    client.wait_at_barrier("pctrans_mh_run", 900_000)
+    _, metrics = compiled(state, batch, key0)
     print("MULTIHOST_LOSS %.8f" % float(metrics["loss"]), flush=True)
+
+# Rendezvous before interpreter exit: the coordination service's shutdown
+# barrier only waits 30 s; make both processes reach it together.
+client.wait_at_barrier("pctrans_mh_done", 900_000)
+jax.distributed.shutdown()
 """
 
 
