@@ -135,7 +135,10 @@ class LegacyTrainer:
 
             (loss, (vis, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            # value: the loss, for the ReduceLROnPlateau transform (solver
+            # build_optimizer wraps every tx with extra-args support)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params, value=loss)
             params = jax.tree_util.tree_map(
                 lambda p, u: p + u, state.params, updates)
             metrics = {"loss": loss, **{k: v for k, v in vis.items()}}

@@ -15,6 +15,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 
 
 def warmup_factor_at(step, method: str, warmup_iters: int, warmup_factor: float):
@@ -52,18 +53,97 @@ def build_lr_schedule(cfg) -> Callable:
             wf = warmup_factor_at(step, s.WARMUP_METHOD, s.WARMUP_ITERS, s.WARMUP_FACTOR)
             return base * wf * 0.5 * (1.0 + jnp.cos(jnp.pi * jnp.asarray(step, jnp.float32) / total))
 
-    elif name == "WarmupMultiStepLR":
+    elif name in ("WarmupMultiStepLR", "MultiStepLR"):
         steps = tuple(s.STEPS)
+        # plain MultiStepLR = the warmup variant with no warmup
+        # (reference build.py:279-283)
+        warmup_iters = s.WARMUP_ITERS if name == "WarmupMultiStepLR" else 0
 
         def sched(step):
-            wf = warmup_factor_at(step, s.WARMUP_METHOD, s.WARMUP_ITERS, s.WARMUP_FACTOR)
+            wf = warmup_factor_at(step, s.WARMUP_METHOD, warmup_iters, s.WARMUP_FACTOR)
             k = sum(jnp.asarray(step) >= jnp.asarray(m) for m in steps)
             return base * wf * s.GAMMA**k
+
+    elif name == "OneCycle":
+        # torch OneCycleLR as instantiated by the reference (build.py:292-297):
+        # cosine anneal, pct_start = WARMUP_ITERS/total, default div_factor 25,
+        # final_div_factor 1000.  Phase boundaries follow torch's step
+        # convention (up phase ends at pct_start*total - 1, the cycle at
+        # total - 1), which optax's cosine_onecycle_schedule shifts by one —
+        # this reproduces torch values exactly at integer steps.
+        pct_start = s.WARMUP_ITERS / max(total, 1)
+        initial = base / 25.0
+        final = initial / 1000.0
+        up_end = max(pct_start * total - 1.0, 1e-9)
+        down_len = max(total - 1.0 - up_end, 1e-9)
+
+        def _cos_anneal(start, end, pct):
+            return end + (start - end) / 2.0 * (jnp.cos(jnp.pi * pct) + 1.0)
+
+        def sched(step):
+            t = jnp.asarray(step, jnp.float32)
+            lr_up = _cos_anneal(initial, base, jnp.clip(t / up_end, 0.0, 1.0))
+            lr_down = _cos_anneal(
+                base, final, jnp.clip((t - up_end) / down_len, 0.0, 1.0))
+            return jnp.where(t <= up_end, lr_up, lr_down)
+
+    elif name == "ReduceLROnPlateau":
+        # The plateau scaling is loss-dependent state, not a pure function of
+        # the step; it lives in the optimizer chain (see reduce_on_plateau /
+        # build_optimizer) and the schedule contributes the constant base LR.
+        def sched(step):
+            return base * jnp.ones_like(jnp.asarray(step, jnp.float32))
 
     else:
         raise ValueError(f"Unsupported LR scheduler: {name}")
 
     return sched
+
+
+class ReduceOnPlateauState(struct.PyTreeNode):
+    scale: jnp.ndarray
+    best: jnp.ndarray
+    bad_count: jnp.ndarray
+
+
+def reduce_on_plateau(factor: float, patience: int = 1000,
+                      threshold: float = 0.001,
+                      min_scale: float = 0.0) -> optax.GradientTransformationExtraArgs:
+    """torch ``ReduceLROnPlateau(mode='min', threshold_mode='rel')`` as an
+    optax transform, matching the reference instantiation
+    (solver/build.py:285-291; the trainer feeds it the per-iteration train
+    loss, engine/trainer.py:700-701).  The current LR scale multiplies the
+    incoming updates, so it composes after the base optimizer; the loss
+    arrives as the ``value`` extra arg (threaded by the train step through
+    ``optax.with_extra_args_support``).
+    """
+
+    def init(params):
+        del params
+        return ReduceOnPlateauState(
+            scale=jnp.ones((), jnp.float32),
+            best=jnp.full((), jnp.inf, jnp.float32),
+            bad_count=jnp.zeros((), jnp.int32),
+        )
+
+    def update(updates, state, params=None, *, value=None, **extra):
+        del params, extra
+        if value is None:  # no loss provided: pass through unchanged
+            return jax.tree_util.tree_map(
+                lambda u: u * state.scale, updates), state
+        value = jnp.asarray(value, jnp.float32)
+        improved = value < state.best * (1.0 - threshold)
+        best = jnp.where(improved, value, state.best)
+        bad = jnp.where(improved, 0, state.bad_count + 1)
+        trip = bad > patience
+        scale = jnp.where(trip, jnp.maximum(state.scale * factor, min_scale),
+                          state.scale)
+        bad = jnp.where(trip, 0, bad)
+        new_state = ReduceOnPlateauState(scale=scale, best=best, bad_count=bad)
+        return jax.tree_util.tree_map(
+            lambda u: u * state.scale, updates), new_state
+
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 def _is_norm_or_bias_path(path) -> str:
@@ -108,4 +188,13 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
             tx = optax.chain(optax.clip_by_global_norm(s.CLIP_GRADIENTS.CLIP_VALUE), tx)
         elif s.CLIP_GRADIENTS.CLIP_TYPE == "value":
             tx = optax.chain(optax.clip(s.CLIP_GRADIENTS.CLIP_VALUE), tx)
-    return tx
+    if s.LR_SCHEDULER_NAME == "ReduceLROnPlateau":
+        # scale updates after the base optimizer; min_lr 1e-6 as a scale
+        # floor relative to the constant base LR (reference build.py:285-291)
+        tx = optax.chain(tx, reduce_on_plateau(
+            factor=s.GAMMA, patience=1000, threshold=0.001,
+            min_scale=1e-6 / max(s.BASE_LR, 1e-12)))
+    # uniform update(grads, state, params, **extra) signature so train steps
+    # can always thread the loss as ``value`` (consumed by ReduceLROnPlateau,
+    # ignored by everything else)
+    return optax.with_extra_args_support(tx)

@@ -61,6 +61,9 @@ def make_train_step(
     ``batch``: {"image": [B, H, W, 3] float32, "label": [B, H, W] int32}.
     """
     model = PCTransModel(config=model_config, train=True, axis_name=axis_name)
+    # idempotent: lets every tx accept the ``value`` extra arg (the loss,
+    # consumed by the ReduceLROnPlateau transform, ignored otherwise)
+    tx = optax.with_extra_args_support(tx)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -86,7 +89,8 @@ def make_train_step(
             return total, (losses, mut)
 
         (total, (losses, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params,
+                                       value=total)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,

@@ -62,6 +62,69 @@ class TestLRSchedule:
         assert lr_mid == pytest.approx(cfg.SOLVER.BASE_LR * frac**0.9, rel=1e-4)
         assert lr_end < 1e-7
 
+    def test_multistep_no_warmup(self):
+        cfg = get_cfg_defaults()
+        cfg.SOLVER.LR_SCHEDULER_NAME = "MultiStepLR"
+        cfg.SOLVER.STEPS = (10, 20)
+        cfg.SOLVER.GAMMA = 0.1
+        sched = build_lr_schedule(cfg)
+        base = cfg.SOLVER.BASE_LR
+        assert float(sched(0)) == pytest.approx(base)       # no warmup
+        assert float(sched(9)) == pytest.approx(base)
+        assert float(sched(10)) == pytest.approx(base * 0.1)
+        assert float(sched(25)) == pytest.approx(base * 0.01)
+
+    def test_onecycle_matches_torch(self):
+        import torch
+
+        cfg = get_cfg_defaults()
+        cfg.SOLVER.LR_SCHEDULER_NAME = "OneCycle"
+        cfg.SOLVER.ITERATION_TOTAL = 100
+        cfg.SOLVER.WARMUP_ITERS = 20
+        sched = build_lr_schedule(cfg)
+
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+        ref = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=cfg.SOLVER.BASE_LR, pct_start=0.2,
+            final_div_factor=1000, total_steps=100)
+        ref_lrs = []
+        for _ in range(100):
+            ref_lrs.append(opt.param_groups[0]["lr"])
+            opt.step()
+            ref.step()
+        for step in (0, 5, 19, 20, 21, 50, 99):
+            assert float(sched(step)) == pytest.approx(ref_lrs[step], rel=1e-5), step
+
+    def test_reduce_on_plateau_transform(self):
+        from pctrans_tpu.engine.solver import reduce_on_plateau
+
+        tx = reduce_on_plateau(factor=0.5, patience=3, threshold=0.001)
+        params = {"w": jnp.ones((2,))}
+        st = tx.init(params)
+        g = {"w": jnp.ones((2,))}
+        # improving loss keeps scale at 1
+        for i in range(5):
+            u, st = tx.update(g, st, params, value=jnp.float32(10.0 - i))
+        assert float(st.scale) == 1.0
+        np.testing.assert_allclose(np.asarray(u["w"]), 1.0)
+        # plateau: constant loss for > patience steps halves the scale
+        for _ in range(5):
+            u, st = tx.update(g, st, params, value=jnp.float32(5.0))
+        assert float(st.scale) == pytest.approx(0.5)
+        u, st = tx.update(g, st, params, value=jnp.float32(5.0))
+        np.testing.assert_allclose(np.asarray(u["w"]), 0.5)
+
+    def test_plateau_optimizer_end_to_end(self):
+        cfg = get_cfg_defaults()
+        cfg.SOLVER.LR_SCHEDULER_NAME = "ReduceLROnPlateau"
+        cfg.SOLVER.GAMMA = 0.1
+        params = {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros(3)}}
+        tx = build_optimizer(cfg, params)
+        st = tx.init(params)
+        g = jax.tree_util.tree_map(jnp.ones_like, params)
+        u, st = tx.update(g, st, params, value=jnp.float32(1.0))
+        assert np.isfinite(jax.tree_util.tree_leaves(u)[0]).all()
+
 
 class TestTrainStep:
     def test_loss_decreases_overfitting(self):
