@@ -103,7 +103,9 @@ def bench_inference(dtype: str = "bfloat16", top_k: int = 50, iters: int = 10):
     # analytically (stage-1 separable contraction, 2*B*M*Lq*P*D*S per
     # encoder layer; see ops/msdeform_pallas2.py).
     flops = _xla_flops(jax.jit(eval_step).lower(state, x).compile())
-    if flops:
+    # the correction applies only where 'auto' actually picks the Pallas
+    # kernel; off-TPU the XLA matmul path is already counted
+    if flops and jax.default_backend() == "tpu":
         # per layer: sum_l 2*B*M*(Lq*P)*W_l*(H_l*D) = 2*B*M*Lq*P*D*S, Lq == S
         M, D, P, layers = 8, 16, 4, 6
         S = sum(-(-H // s) * -(-W // s) for s in (8, 16, 32))
@@ -152,6 +154,12 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
     step = jax.jit(make_train_step(config, criterion, tx, max_instances=40))
     rng = jax.random.key(0)
 
+    # XLA-counted FLOPs of one train step (fwd+bwd+optimizer).  Unlike eval,
+    # no analytic correction: the train path dispatches ms-deform to the XLA
+    # hat-matmul (impl='auto_train', ops/msdeform.py — fused fwd+bwd wins
+    # under AD), whose dots cost_analysis already counts.
+    flops = _xla_flops(step.lower(state, batch, rng).compile())
+
     # Python-loop dispatch with a dependent final scalar fetch: each step
     # consumes the previous state, so the chain serializes on device, and
     # float() blocks on the value (unlike block_until_ready through the
@@ -165,15 +173,15 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
         st, m = step(st, batch, rng)
     float(m["loss"])                  # waits for the whole chain
     dt = max(time.perf_counter() - t0 - ROUND_TRIP_S, 1e-9) / iters
-    return B / dt
+    return B / dt, (flops / B if flops else None)
 
 
 def main():
     img_per_sec, flops_per_img, _ = bench_inference()
     try:
-        train_ips = bench_train()
+        train_ips, train_flops_per_img = bench_train()
     except Exception:
-        train_ips = None
+        train_ips, train_flops_per_img = None, None
 
     out = {
         "metric": "cvppp_inference_throughput",
@@ -191,6 +199,11 @@ def main():
         out["mfu"] = round(flops_per_img * img_per_sec / peak, 4)
     if train_ips is not None:
         out["train_img_per_sec"] = round(train_ips, 3)
+        if train_flops_per_img:
+            peak = _device_peak_tflops() * 1e12
+            out["train_gflops_per_image"] = round(train_flops_per_img / 1e9, 1)
+            out["train_mfu"] = round(
+                train_flops_per_img * train_ips / peak, 4)
     print(json.dumps(out))
 
 

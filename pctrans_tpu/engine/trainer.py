@@ -176,12 +176,16 @@ class Trainer:
             if hasattr(self, "monitor"):
                 self.monitor.profile_steps(it)  # jax.profiler trace window
             batch_np = next(self.train_loader)
-            # narrow transfer dtypes: the train step widens on device; the
-            # f32->f16 image cast is lossless for normalized image data and
-            # halves the per-step host->device transfer (~0.2 s/step through
-            # the remote-TPU relay)
+            # narrow transfer dtypes: the train step widens on device, and
+            # int16 labels / f16 images halve the per-step host->device
+            # transfer (~0.2 s/step through the remote-TPU relay).  The f16
+            # image quantization (~2^-11 relative) sits below bf16 compute
+            # noise, so it is only applied under mixed precision; f32 runs
+            # (bit-parity oracles) transfer full-precision images.
+            img_dtype = (np.float16 if self.model_config.dtype == "bfloat16"
+                         else np.float32)
             batch = shard_batch(self.mesh, {
-                "image": batch_np["image"].astype(np.float16),
+                "image": batch_np["image"].astype(img_dtype),
                 "label": batch_np["label"].astype(np.int16),
             })
             self.state, metrics = self._train_step(self.state, batch, self.rng)
@@ -306,9 +310,17 @@ class Trainer:
         if self.tta is not None:
             # flip/transpose ensemble over the full forward (reference
             # TestAugmentor; built in test mode, trainer.py:78-81) —
-            # averaging needs real probabilities, not binarized masks
+            # averaging needs real probabilities, not binarized masks.
+            # With a postprocess threshold, every member runs full-Q: the
+            # per-member lossy-TOP_K fallback would otherwise have to fire
+            # identically across flipped variants to keep the blended
+            # stack's query count consistent, which nothing guarantees.
+            use_full = (threshold is not None and 0 < self._top_k
+                        < self.model_config.num_queries)
+
             def fwd(x):
-                p, _ = self._eval_step(self.state, jnp.asarray(x))
+                step = self._full_eval_step(None) if use_full else self._eval_step
+                p, _ = step(self.state, jnp.asarray(x))
                 return np.asarray(p)
 
             return self.tta(fwd, np.asarray(images))
@@ -318,14 +330,19 @@ class Trainer:
         if threshold is not None and probs.shape[1] < self.model_config.num_queries:
             peak_p = 1.0 / (1.0 + np.exp(-np.asarray(peaks)[:, -1]))
             if (peak_p > threshold).any():
+                # TOP_K was provably lossy: re-run with ALL queries
                 key = self._bin_threshold if binarized else None
-                if key not in self._eval_step_full:
-                    self._eval_step_full[key] = jax.jit(
-                        make_eval_step(self.model_config, top_k=None,
-                                       threshold=key))
-                probs, _ = self._eval_step_full[key](self.state,
+                probs, _ = self._full_eval_step(key)(self.state,
                                                      jnp.asarray(images))
         return np.asarray(probs)
+
+    def _full_eval_step(self, key):
+        """Lazily-compiled full-Q eval step (key = on-device binarize
+        threshold or None for probabilities)."""
+        if key not in self._eval_step_full:
+            self._eval_step_full[key] = jax.jit(
+                make_eval_step(self.model_config, top_k=None, threshold=key))
+        return self._eval_step_full[key]
 
     def eval_cvppp(self, loader=None, model_name: str = "model") -> Dict[str, float]:
         loader = loader or build_dataloader(self.cfg, "val")

@@ -77,11 +77,18 @@ def seg_iou3d_sorted(
     score = np.asarray(score, float)
     if score.size and score[:, 0].max() > (pred_id.max() if len(pred_id) else 0):
         raise ValueError("The predict-score has bigger id than the prediction")
-    sc_id = score[:, 0].astype(np.int64)
-    order = np.argsort(-score[:, 1], kind="stable")
-    todo_id = sc_id[order]
-    todo_id = todo_id[todo_id > 0]
-    scores_sorted = score[order][: len(todo_id), 1].reshape(-1, 1)
+    # id -> confidence relabel array, then unique positive ids sorted by
+    # confidence (reference seg_iou3d_sorted, vol3d_util.py:240-249).  Note:
+    # the reference then returns ``relabel[pred_id_sorted]`` — indexing the
+    # id->score array with *sort-permutation indices* — which misaligns
+    # scores whenever ids are not exactly 0..N; here each row's score is
+    # looked up by its id, so result_p and scores_sorted always align.
+    relabel = np.zeros(int(score[:, 0].max()) + 1 if score.size else 1, float)
+    relabel[score[:, 0].astype(np.int64)] = score[:, 1]
+    sc_id = np.unique(score[:, 0].astype(np.int64))
+    sc_id = sc_id[sc_id > 0]
+    todo_id = sc_id[np.argsort(-relabel[sc_id], kind="stable")]
+    scores_sorted = relabel[todo_id].reshape(-1, 1)
 
     # dense contingency table over remapped consecutive ids
     pi = np.zeros(int(pred.max()) + 1 if pred.size else 1, np.int64)
@@ -92,6 +99,12 @@ def seg_iou3d_sorted(
     table = np.bincount(pi[pred] * ng + gi[gt], minlength=np_ * ng)
     inter = table.reshape(np_, ng)[1:, 1:].astype(float)  # [P, G]
 
+    # id -> size, 0 for scored ids absent from pred (the reference's
+    # ``predict_sz_rl`` zeros array, vol3d_util.py:174-176)
+    sz_rl = np.zeros(max(int(pred_id.max()) if len(pred_id) else 0,
+                         int(todo_id.max()) if len(todo_id) else 0) + 1,
+                     np.int64)
+    sz_rl[pred_id] = pred_sz
     sz_p = dict(zip(pred_id.tolist(), pred_sz.tolist()))
     iou = np.zeros_like(inter)
     if inter.size:
@@ -101,12 +114,14 @@ def seg_iou3d_sorted(
     A = areaRng.shape[0]
     result_p = np.zeros((len(todo_id), 2 + 3 * A))
     result_p[:, 0] = todo_id
-    result_p[:, 1] = [sz_p[i] for i in todo_id]
+    result_p[:, 1] = sz_rl[todo_id]
 
     band = [(gt_sz > lo) & (gt_sz <= hi) for lo, hi in areaRng]  # [A][G]
     for j, i in enumerate(todo_id):
-        row = iou[np.searchsorted(pred_id, i)]
-        hit = inter[np.searchsorted(pred_id, i)] > 0
+        if pi[i] == 0:   # scored id with zero voxels in pred: no matches
+            continue
+        row = iou[pi[i] - 1]
+        hit = inter[pi[i] - 1] > 0
         if not hit.any():
             continue
         for r in range(A):
@@ -118,8 +133,9 @@ def seg_iou3d_sorted(
     # per-GT best prediction (ties to the higher-scored = earlier pred,
     # matching the reference's strict-greater sequential update :222-224)
     if len(todo_id) and len(gt_id):
-        rows = np.searchsorted(pred_id, todo_id)
-        iou_sorted = np.where(inter[rows] > 0, iou[rows], 0.0)  # [D, G]
+        rows = pi[todo_id]  # 0 = scored id absent from pred
+        iou_sorted = np.where((rows[:, None] > 0) & (inter[rows - 1] > 0),
+                              iou[rows - 1], 0.0)  # [D, G]
         best_j = np.argmax(iou_sorted, axis=0)
         gt_best_iou = iou_sorted[best_j, np.arange(len(gt_id))]
         gt_best_pid = np.where(gt_best_iou > 0, todo_id[best_j], 0)

@@ -63,7 +63,11 @@ def ms_deform_attn(
     pallas v1 4.9/31 (grid-overhead-bound), separable 5.1/36 (stage-1
     intermediate round-trips HBM), patch gather 7.4/56 (row-serial).
     """
-    impl = os.environ.get("PCTRANS_MSDA_IMPL") or impl or "auto"
+    # $PCTRANS_MSDA_IMPL overrides only the auto dispatch (whole-run
+    # experiments); an explicit impl= argument always wins, so tests that
+    # pin an implementation stay meaningful under a stray env var.
+    if impl in (None, "auto", "auto_train"):
+        impl = os.environ.get("PCTRANS_MSDA_IMPL") or impl or "auto"
     if impl == "auto":
         # The Pallas v2 kernel wins on TPU for forward-only use (eval
         # layer-call 5.1 vs 12.3 ms — tools_dev/bench_msda.py); the XLA

@@ -143,6 +143,24 @@ class TestTrainerLoop:
         assert probs.shape[0] == 1 and probs.shape[-2:] == (32, 32)
         assert np.isfinite(probs).all()
 
+    def test_tta_top_k_uses_full_queries(self, tmp_path):
+        """With a postprocess threshold, the TTA ensemble runs every member
+        full-Q: a per-member lossy-TOP_K fallback could fire on some flipped
+        variants and not others, leaving the blend with mismatched query
+        counts — and a lossy member would drop above-threshold instance
+        masks from the average."""
+        cfg = tiny_cfg(tmp_path)  # TOP_K = 4 of 10 queries
+        cfg.INFERENCE.AUG_MODE = "mean"
+        cfg.INFERENCE.AUG_NUM = 4
+        cfg.freeze()
+        trainer = Trainer(cfg, mode="test")
+        imgs = np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32)
+        probs = trainer.predict_probs(imgs, threshold=1e-4)
+        assert probs.shape[1] == cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
+        # without a threshold the lean TOP_K ensemble is kept
+        probs = trainer.predict_probs(imgs)
+        assert probs.shape[1] == cfg.INFERENCE.TOP_K
+
 
 class TestObservability:
     def test_visualizer_png_fallback(self, tmp_path):

@@ -63,6 +63,30 @@ class TestSegIoU3dSorted:
         rp, _, sc = seg_iou3d_sorted(pred, gt, score=score)
         assert rp[0, 0] == 5 and sc[0, 0] == pytest.approx(0.9)
 
+    def test_background_score_row_keeps_alignment(self):
+        # a background (id 0) row in the score table must be dropped without
+        # shifting the scores of the rows ranked after it
+        pred, gt = _two_blob_volume()
+        score = np.array([[5, 0.9], [0, 0.5], [9, 0.1]])
+        rp, _, sc = seg_iou3d_sorted(pred, gt, score=score)
+        assert rp.shape[0] == 2 and sc.shape == (2, 1)
+        assert rp[:, 0].tolist() == [5, 9]
+        assert sc[:, 0].tolist() == pytest.approx([0.9, 0.1])
+
+    def test_scored_id_absent_from_pred(self):
+        # an id with a confidence but zero voxels (reference predict_sz_rl
+        # semantics: size 0, no matches) must not crash or steal a match
+        pred, gt = _two_blob_volume()
+        score = np.array([[5, 0.9], [7, 0.5], [9, 0.1]])
+        rp, rfn, sc = seg_iou3d_sorted(pred, gt, score=score)
+        assert rp[:, 0].tolist() == [5, 7, 9]
+        row7 = rp[1]
+        assert row7[1] == 0                       # size 0
+        assert row7[2:].sum() == 0                # no matches in any band
+        assert rp[0, 4] == pytest.approx(1.0)     # real matches unaffected
+        assert rp[2, 4] == pytest.approx(1.0)
+        assert len(rfn) == 0
+
 
 class TestVOL3Deval:
     def _run(self, pred, gt, score=None, thresholds=(100,)):
