@@ -34,10 +34,13 @@ def get_dataset(cfg, mode: str):
     if dt == "BBBC":
         m = {"train": "train", "val": "validation", "test": "test"}[mode]
         return BBBC(root, m, crop_size=(512, 512))
-    if dt == "synthetic":
+    if dt in ("synthetic", "synthetic_bbbc"):
         size = tuple(cfg.MODEL.INPUT_SIZE[-2:])
         length = 64 if mode == "train" else 8
-        return SyntheticDataset(size=size, length=length,
+        # the bbbc flavor approximates a nuclei field (more, denser
+        # instances) and routes the BBBC eval protocol (trainer.validate)
+        n_inst = (8, 24) if dt == "synthetic_bbbc" else (4, 12)
+        return SyntheticDataset(size=size, length=length, n_instances=n_inst,
                                 seed={"train": 0, "val": 1, "test": 2}[mode])
     if dt in ("cellpose", "monuseg"):
         from .instance_folder import CellposeDataset, MoNuSegDataset

@@ -116,7 +116,8 @@ class Trainer:
         # binarizes on device at the dataset's postprocess threshold and
         # ships uint8 (4x less device->host transfer; exact, see
         # state.make_eval_step)
-        self._bin_threshold = 0.05 if cfg.DATASET.DATA_TYPE == "BBBC" else 0.69
+        self._bin_threshold = (0.05 if cfg.DATASET.DATA_TYPE
+                               in ("BBBC", "synthetic_bbbc") else 0.69)
         self._eval_step_bin = jax.jit(
             make_eval_step(self.model_config,
                            top_k=top_k if top_k > 0 else None,
@@ -223,7 +224,7 @@ class Trainer:
         if not hasattr(self, "_val_loader"):
             self._val_loader = build_dataloader(self.cfg, "val")
         dt = self.cfg.DATASET.DATA_TYPE
-        if dt == "BBBC":
+        if dt in ("BBBC", "synthetic_bbbc"):
             res = self.test_bbbc(loader=iter(self._val_loader),
                                  model_name=f"val_{iteration:06d}")
             primary = res["AJI"]
@@ -246,11 +247,10 @@ class Trainer:
             from ..utils.visualizer import Visualizer
 
             batch = next(iter(self._val_loader))
-            thr = 0.05 if self.cfg.DATASET.DATA_TYPE == "BBBC" else 0.69
+            bbbc = self.cfg.DATASET.DATA_TYPE in ("BBBC", "synthetic_bbbc")
+            thr = 0.05 if bbbc else 0.69
             probs = self.predict_probs(batch["image"], threshold=thr)
-            fn = (instance_inference_bbbc
-                  if self.cfg.DATASET.DATA_TYPE == "BBBC"
-                  else instance_inference_cvppp)
+            fn = instance_inference_bbbc if bbbc else instance_inference_cvppp
             n = min(2, int(batch.get("_num_valid", probs.shape[0])))
             preds = np.stack([fn(probs[b]).astype(np.int32) for b in range(n)])
             labels = batch["label"][:n] if "label" in batch else None

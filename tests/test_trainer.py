@@ -131,6 +131,25 @@ class TestTrainerLoop:
         probs = trainer.predict_probs(imgs, threshold=1.0 - 1e-6)
         assert probs.shape[1] == cfg.INFERENCE.TOP_K
 
+    def test_synthetic_bbbc_validates_with_aji(self, tmp_path):
+        """DATA_TYPE synthetic_bbbc routes validation through the BBBC
+        protocol (test_bbbc -> AJI/F1/PQ, postprocess threshold 0.05) on
+        synthetic nuclei-like data — the end-to-end chain for the second
+        dataset family without data on disk."""
+        cfg = tiny_cfg(tmp_path)
+        cfg.DATASET.DATA_TYPE = "synthetic_bbbc"
+        cfg.SOLVER.ITERATION_TOTAL = 2
+        cfg.SOLVER.ITERATION_VAL = 2
+        cfg.freeze()
+        trainer = Trainer(cfg, mode="train")
+        assert trainer._bin_threshold == pytest.approx(0.05)
+        trainer.train()
+        lines = [json.loads(l) for l in
+                 open(os.path.join(cfg.DATASET.OUTPUT_PATH, "metrics.jsonl"))]
+        eval_recs = [r for r in lines if "eval" in r]
+        assert eval_recs, lines
+        assert {"AJI", "PQ", "F1"} <= set(eval_recs[-1]["eval"])
+
     def test_tta_wiring(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         cfg.INFERENCE.AUG_MODE = "mean"
