@@ -53,6 +53,7 @@ class TestTrainerLoop:
         cfg.SOLVER.SWA.ENABLED = True
         cfg.SOLVER.SWA.START_ITER = 1
         cfg.SOLVER.SWA.MERGE_ITER = 1
+        cfg.SOLVER.ITERATION_VAL = 4   # one in-training validation suffices
         cfg.freeze()
         trainer = Trainer(cfg, mode="train")
         trainer.train()
