@@ -56,7 +56,8 @@ def main():
         trainer.state = replicate(
             trainer.mesh, ckpt.restore_checkpoint(path, trainer.state))
         name = os.path.basename(path)
-        if args.name == "bbbc" or cfg.DATASET.DATA_TYPE == "BBBC":
+        if args.name == "bbbc" or cfg.DATASET.DATA_TYPE in ("BBBC",
+                                                            "synthetic_bbbc"):
             res = trainer.test_bbbc(model_name=name)
         else:
             res = trainer.eval_cvppp(model_name=name)
