@@ -111,7 +111,13 @@ class CVPPP:
         files = sorted(os.listdir(self.dir)) if os.path.isdir(self.dir) else []
         plants = sorted({f[:8] for f in files if f.startswith("plant")})
         if mode == "val":
-            plants = [p for p in plants if p in VAL_PLANTS] or sorted(VAL_PLANTS)
+            plants = [p for p in plants if p in VAL_PLANTS]
+            if not plants:
+                # fail now with a clear message instead of fabricating the
+                # 20-plant list and hitting FileNotFoundError mid-eval
+                raise FileNotFoundError(
+                    f"CVPPP val split: no plants from the hardcoded 20-plant "
+                    f"val list (dataset_CVPPP.py:67-69) found in {self.dir}")
         elif mode == "train":
             plants = [p for p in plants if p not in VAL_PLANTS]
         self.plants = plants

@@ -21,13 +21,11 @@ from scipy.optimize import linear_sum_assignment
 
 
 def _contingency(gt: np.ndarray, pred: np.ndarray):
-    gt = np.asarray(gt).ravel().astype(np.int64)
-    pred = np.asarray(pred).ravel().astype(np.int64)
-    n_gt = int(gt.max()) + 1
-    n_pred = int(pred.max()) + 1
-    joint = np.bincount(gt * n_pred + pred, minlength=n_gt * n_pred)
-    joint = joint.reshape(n_gt, n_pred).astype(np.float64)
-    return joint
+    """Joint (gt, pred) label histogram — one shared builder with the CVPPP
+    metrics (rows = first argument's labels)."""
+    from .metrics_cvppp import _contingency as _contingency3
+
+    return _contingency3(gt, pred)[0]
 
 
 def remap_label(pred: np.ndarray, by_size: bool = False) -> np.ndarray:
@@ -109,10 +107,6 @@ def get_fast_pq(true: np.ndarray, pred: np.ndarray, match_iou: float = 0.5):
     assert match_iou >= 0.0
     true = np.asarray(true)
     pred = np.asarray(pred)
-    true_ids = list(np.unique(true))
-    pred_ids = list(np.unique(pred))
-    n_true = len(true_ids) - (1 if 0 in true_ids else 0)
-    n_pred = len(pred_ids) - (1 if 0 in pred_ids else 0)
 
     joint = _contingency(true, pred)
     n_gt_max = joint.shape[0] - 1

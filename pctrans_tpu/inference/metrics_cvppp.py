@@ -42,16 +42,14 @@ def _pairwise_dice(in_label: np.ndarray, gt_label: np.ndarray):
     return dice
 
 
-def BestDice(in_label: np.ndarray, gt_label: np.ndarray) -> float:
-    """Mean over foreground in-labels of the best dice vs any foreground gt label."""
-    in_label = np.asarray(in_label)
-    gt_label = np.asarray(gt_label)
+def _best_dice_from(dice: np.ndarray, in_label: np.ndarray,
+                    gt_label: np.ndarray) -> float:
+    """BestDice given a precomputed dice[in, gt] matrix (reference row/col
+    range semantics: labels min+1..max of each map count as foreground)."""
     max_in, min_in = int(in_label.max()), int(in_label.min())
     max_gt, min_gt = int(gt_label.max()), int(gt_label.min())
     if max_in == min_in:  # trivial solution: only background predicted
         return 0.0
-    dice = _pairwise_dice(in_label, gt_label)
-    # rows: in-labels min_in+1..max_in; cols: gt labels min_gt+1..max_gt.
     rows = np.arange(min_in + 1, max_in + 1)
     cols = np.arange(min_gt + 1, max_gt + 1)
     if len(cols) == 0:
@@ -62,18 +60,30 @@ def BestDice(in_label: np.ndarray, gt_label: np.ndarray) -> float:
     return float(best.sum() / (max_in - min_in))
 
 
-def SymmetricBestDice(in_label: np.ndarray, gt_label: np.ndarray) -> float:
-    return min(BestDice(in_label, gt_label), BestDice(gt_label, in_label))
-
-
-def SymmetricBestDice_max(in_label: np.ndarray, gt_label: np.ndarray) -> float:
-    return max(BestDice(in_label, gt_label), BestDice(gt_label, in_label))
+def BestDice(in_label: np.ndarray, gt_label: np.ndarray) -> float:
+    """Mean over foreground in-labels of the best dice vs any foreground gt label."""
+    in_label = np.asarray(in_label)
+    gt_label = np.asarray(gt_label)
+    return _best_dice_from(_pairwise_dice(in_label, gt_label), in_label, gt_label)
 
 
 def SymmetricBestDice_both(in_label: np.ndarray, gt_label: np.ndarray) -> Tuple[float, float]:
-    bd1 = BestDice(in_label, gt_label)
-    bd2 = BestDice(gt_label, in_label)
+    # one contingency pass serves both directions (the reverse dice matrix
+    # is the transpose)
+    in_label = np.asarray(in_label)
+    gt_label = np.asarray(gt_label)
+    dice = _pairwise_dice(in_label, gt_label)
+    bd1 = _best_dice_from(dice, in_label, gt_label)
+    bd2 = _best_dice_from(dice.T, gt_label, in_label)
     return min(bd1, bd2), max(bd1, bd2)
+
+
+def SymmetricBestDice(in_label: np.ndarray, gt_label: np.ndarray) -> float:
+    return SymmetricBestDice_both(in_label, gt_label)[0]
+
+
+def SymmetricBestDice_max(in_label: np.ndarray, gt_label: np.ndarray) -> float:
+    return SymmetricBestDice_both(in_label, gt_label)[1]
 
 
 def DiffFGLabels(in_label: np.ndarray, gt_label: np.ndarray) -> float:

@@ -92,7 +92,7 @@ def mask_nms(masks: np.ndarray, scores: np.ndarray, thres: float = 0.3) -> np.nd
         if suppressed[idx]:
             continue
         keep.append(idx)
-        for j in range(i, n):
+        for j in range(i + 1, n):
             jdx = order[j]
             if suppressed[jdx]:
                 continue

@@ -127,6 +127,18 @@ def _bce_logits(x, y):
     return jax.nn.softplus(-x) * y + jax.nn.softplus(x) * (1.0 - y)
 
 
+def _weighted_point_losses(wp, logits, labels):
+    """Per-mask weighted point sigmoid-CE + dice over the last (point) axis.
+    ``wp`` sums to ~num_points per mask, making these the reference's
+    point-mean CE and point-set dice in expectation."""
+    denom = jnp.maximum(wp.sum(-1), 1.0)
+    ce = (wp * _bce_logits(logits, labels)).sum(-1) / denom
+    sig = jax.nn.sigmoid(logits)
+    dice = 1.0 - (2.0 * (wp * sig * labels).sum(-1) + 1.0) / (
+        (wp * sig).sum(-1) + (wp * labels).sum(-1) + 1.0)
+    return ce, dice
+
+
 class SetCriterion:
     def __init__(self, config: CriterionConfig):
         self.cfg = config
@@ -154,7 +166,11 @@ class SetCriterion:
         # per-mask importance weights from the sampled logits themselves
         # (detectron2 computes uncertainty on the same oversampled logits):
         # points inside the top-(imp/oversample) uncertainty quantile carry
-        # the reference's 3x evaluation density as weight mass
+        # the reference's imp*N selected mass, and every candidate carries a
+        # (1-imp)*N/P share of the reference's FRESH-UNIFORM fill — which is
+        # uniform over the WHOLE domain, so it must land on selected points
+        # too (restricting it to the complement under-weights the uncertain
+        # region by (1-imp)*|U| ~ 6% of the total mass).
         uncert = -jnp.abs(jax.lax.stop_gradient(logits))
         k_q = max(int(P * c.importance_sample_ratio / c.oversample_ratio), 1)
         t = kth_largest_threshold(uncert, k_q)
@@ -162,19 +178,15 @@ class SetCriterion:
         n_sel = sel.sum(-1, keepdims=True).astype(jnp.float32)
         w_sel = c.importance_sample_ratio * c.num_points / jnp.maximum(
             n_sel, 1.0)
-        w_rest = (1.0 - c.importance_sample_ratio) * c.num_points / \
-            jnp.maximum(P - n_sel, 1.0)
-        wp = jax.lax.stop_gradient(jnp.where(sel, w_sel, w_rest))  # [B, G, P]
+        w_fill = (1.0 - c.importance_sample_ratio) * c.num_points / P
+        wp = jax.lax.stop_gradient(
+            jnp.where(sel, w_sel, 0.0) + w_fill)               # [B, G, P]
 
         # exact full-resolution GT: 4 corner gathers through the label map
         coords = jnp.stack([cx, cy], axis=-1)                   # [B, P, 2]
         labels = jax.lax.stop_gradient(sample_label_onehot(seg, coords, G))
 
-        denom = jnp.maximum(wp.sum(-1), 1.0)                    # == num_points
-        ce = (wp * _bce_logits(logits, labels)).sum(-1) / denom
-        sig = jax.nn.sigmoid(logits)
-        dice = 1.0 - (2.0 * (wp * sig * labels).sum(-1) + 1.0) / (
-            (wp * sig).sum(-1) + (wp * labels).sum(-1) + 1.0)
+        ce, dice = _weighted_point_losses(wp, logits, labels)
         v = valid.astype(jnp.float32)
         return (ce * v).sum() / num_masks, (dice * v).sum() / num_masks
 
@@ -207,11 +219,7 @@ class SetCriterion:
             sh, sw = src.shape[-2:]
             logits = grid_sample_bilinear(
                 src, cx * sw - 0.5, cy * sh - 0.5)[:, 0].astype(jnp.float32)
-            denom = jnp.maximum(wp.sum(1), 1.0)           # == num_points
-            ce = (wp * _bce_logits(logits, labels)).sum(1) / denom
-            sig = jax.nn.sigmoid(logits)
-            dice = 1.0 - (2.0 * (wp * sig * labels).sum(1) + 1.0) / (
-                (wp * sig).sum(1) + (wp * labels).sum(1) + 1.0)
+            ce, dice = _weighted_point_losses(wp, logits, labels)
         else:
             coords = get_uncertain_point_coords(
                 rng, src_est, c.num_points,

@@ -282,7 +282,8 @@ class FgContourConsistency:
         edge = jnp.sqrt(ex ** 2 + ey ** 2 + self.eps)
         edge = jnp.clip(edge, self.eps, 1.0 - self.eps)
         sz = 2 * self.tsz_h + 1
-        edge = jnp.pad(edge, ((0, 0),) * 3 + ((1, 1), (1, 1)),
+        th = self.tsz_h
+        edge = jnp.pad(edge, ((0, 0),) * 3 + ((th, th), (th, th)),
                        constant_values=-jnp.inf)
         B, C, Z, Y, X = edge.shape
         edge = jax.lax.reduce_window(

@@ -238,14 +238,16 @@ def uncertain_point_weights(
     num_points`` uniform candidates and gathering their coordinates (top-k
     sort + per-scalar index gathers — the two dominate the whole train
     step on TPU), keep ALL candidates and return a weight per candidate:
-    1 for the ~``importance_sample_ratio * num_points`` most uncertain
-    (threshold from :func:`kth_largest_threshold`), and the matching
-    expected-count fill probability for the rest, so ``weights.sum(-1) ==
-    num_points`` exactly.  Downstream losses become weighted means over the
-    candidate set — identical in expectation to the reference's
-    select-then-average (candidates are iid uniform, so selection and
-    Bernoulli weighting are the same estimator family), with no gather in
-    the graph.
+    the selected ``~importance_sample_ratio * num_points`` most uncertain
+    (threshold from :func:`kth_largest_threshold`) carry the selected mass,
+    and EVERY candidate carries a ``(1-imp)*num_points/P`` share of the
+    reference's fresh-uniform fill — the fill is uniform over the whole
+    domain, so its mass lands on the uncertain region too.  Downstream
+    losses become weighted means over the candidate set — identical in
+    expectation to the reference's select-then-average (the selected mass
+    matches top-k exactly; candidates are iid uniform, so the per-candidate
+    fill share is an unbiased estimator of the uniform integral), with no
+    gather in the graph.
 
     ``logits``: [N, 1, H, W].  Returns (x, y, weights), each [N, P] with
     P = oversample_ratio * num_points; x/y in [0, 1].
@@ -263,10 +265,10 @@ def uncertain_point_weights(
     t = kth_largest_threshold(uncert, k_imp)
     sel = uncert >= t                                     # ~k_imp per row
     n_sel = sel.sum(-1, keepdims=True).astype(jnp.float32)
-    # fill weight so that sum(w) == num_points per mask even under ties
-    fill = jnp.clip((num_points - n_sel)
-                    / jnp.maximum(P - n_sel, 1.0), 0.0, 1.0)
-    w = jnp.where(sel, 1.0, fill)
+    # selected mass k_imp (robust to ties) + uniform fill share everywhere
+    w_sel = k_imp / jnp.maximum(n_sel, 1.0)
+    w_fill = (num_points - k_imp) / P
+    w = jnp.where(sel, w_sel, 0.0) + w_fill
     return cx, cy, jax.lax.stop_gradient(w)
 
 

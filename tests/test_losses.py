@@ -262,3 +262,40 @@ class TestCriterion:
         g = jax.grad(f)(outputs["pred_masks"])
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
+
+
+class TestUncertainPointWeights:
+    def test_mass_matches_reference_split(self):
+        """The weight field must carry imp*N mass on the selected (most
+        uncertain) candidates PLUS a (1-imp)*N/P uniform fill share on every
+        candidate — the reference's fresh-uniform fill covers the whole
+        domain, including the uncertain region."""
+        from pctrans_tpu.ops.point_sample import uncertain_point_weights
+
+        rng = jax.random.key(0)
+        logits = jnp.asarray(
+            np.random.RandomState(0).randn(3, 1, 16, 16), jnp.float32)
+        N, over, imp = 256, 3.0, 0.75
+        cx, cy, w = uncertain_point_weights(rng, logits, N, over, imp)
+        P = int(N * over)
+        assert w.shape == (3, P)
+        # total mass == num_points
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), N, rtol=1e-5)
+        # every candidate carries at least the uniform fill share
+        fill = (1 - imp) * N / P
+        assert float(w.min()) >= fill - 1e-6
+        # selected mass (above-fill part) == imp*N
+        extra = np.asarray(w) - fill
+        np.testing.assert_allclose(extra.sum(-1), imp * N, rtol=1e-2)
+
+
+class TestFgContourConsistency:
+    def test_window_sizes_keep_shape(self):
+        from pctrans_tpu.losses.legacy import FgContourConsistency
+
+        rs = np.random.RandomState(0)
+        p1 = jnp.asarray(rs.randn(1, 1, 2, 12, 12), jnp.float32)
+        p2 = jnp.asarray(rs.randn(1, 1, 2, 12, 12), jnp.float32)
+        for tsz_h in (1, 2, 3):
+            loss = FgContourConsistency(tsz_h=tsz_h)(p1, p2)
+            assert np.isfinite(float(loss)), tsz_h
