@@ -20,7 +20,9 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 _FMT = "checkpoint_%06d"
-_RE = re.compile(r"checkpoint_(\d{6})$")
+# \d{6,}: %06d zero-pads but does NOT truncate — iteration >= 1e6 writes 7+
+# digits, which must stay visible to list/latest/iteration parsing
+_RE = re.compile(r"checkpoint_(\d{6,})$")
 
 
 def save_checkpoint(output_dir: str, state: TrainState, iteration: int,
@@ -78,7 +80,14 @@ def restore_partial(path: str, target: TrainState, verbose: bool = True) -> Trai
             )
             src = raw_flat.get(keys)
             if src is not None and tuple(src.shape) == tuple(leaf.shape):
-                new_leaves.append(jax.numpy.asarray(src, leaf.dtype))
+                arr = jax.numpy.asarray(src, leaf.dtype)
+                # keep the target leaf's placement: the trainer replicates
+                # the state over the mesh BEFORE a partial restore, and a
+                # default-device array mixed into a sharded PyTree breaks
+                # the pjit'd step in multi-process runs
+                if hasattr(leaf, "sharding"):
+                    arr = jax.device_put(arr, leaf.sharding)
+                new_leaves.append(arr)
                 n_loaded += 1
             else:
                 new_leaves.append(leaf)

@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..ops.msdeform import ms_deform_attn
 from ..ops.resize import resize_bilinear
-from .layers import ConvNorm, get_norm, position_embedding_sine
+from .layers import ConvNorm, position_embedding_sine
 
 _XAVIER = nn.initializers.xavier_uniform()
 
@@ -121,11 +121,14 @@ class MSDeformAttnEncoderLayer(nn.Module):
             self.d_model, self.n_levels, self.n_heads, self.n_points,
             dtype=self.dtype, train=self.train, name="self_attn"
         )(src + pos, reference_points, src, spatial_shapes)
-        src = nn.LayerNorm(name="norm1")(src + attn)
+        # dtype pinned: flax norms default to promoting bf16 activations to
+        # f32, which would double the residual stream's HBM traffic across
+        # all 6 layers (stats are still computed in f32 internally)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
         y = nn.Dense(self.d_ffn, kernel_init=_XAVIER, dtype=self.dtype, name="linear1")(src)
         y = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
                      name="linear2")(nn.relu(y))
-        return nn.LayerNorm(name="norm2")(src + y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + y)
 
 
 def encoder_reference_points(spatial_shapes, dtype=jnp.float32) -> jnp.ndarray:
@@ -150,6 +153,9 @@ class MSDeformAttnPixelDecoder(nn.Module):
     """
 
     conv_dim: int = 128
+    # Accepted for config symmetry but UNUSED here: mask features leave this
+    # module at conv_dim channels; the mask_dim projection lives in the
+    # transformer decoder's mask head (unlike fpn_decoder.py, which projects)
     mask_dim: int = 16
     norm: str = "SyncBN"      # FPN lateral/output conv norm (config SEM_SEG_HEAD.NORM)
     transformer_layers: int = 6
@@ -180,7 +186,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
             B, H, W, _ = x.shape
             y = nn.Conv(self.conv_dim, (1, 1), kernel_init=_XAVIER, dtype=dtype,
                         name=f"input_proj{idx}")(x)
-            y = nn.GroupNorm(num_groups=32, name=f"input_gn{idx}")(y)
+            y = nn.GroupNorm(num_groups=32, dtype=dtype,
+                             name=f"input_gn{idx}")(y)
             srcs.append(y.reshape(B, H * W, self.conv_dim))
             pe = position_embedding_sine(H, W, self.conv_dim // 2).astype(dtype)
             pos.append(jnp.broadcast_to(pe.reshape(1, H * W, self.conv_dim), (B, H * W, self.conv_dim)))
@@ -190,10 +197,14 @@ class MSDeformAttnPixelDecoder(nn.Module):
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (len(tif), self.conv_dim)
         ).astype(dtype)
-        src_flat = jnp.concatenate(
-            [s + level_embed[i][None, None, :] for i, s in enumerate(srcs)], axis=1
-        )
-        pos_flat = jnp.concatenate(pos, axis=1)
+        # level_embed rides the POSITIONAL stream (reference
+        # msdeformattn.py:74-76: lvl_pos_embed = pos_embed + level_embed,
+        # src left clean) — it reaches only the offset/weight queries, not
+        # the value projection or the residual stream.
+        src_flat = jnp.concatenate(srcs, axis=1)
+        pos_flat = jnp.concatenate(
+            [p + level_embed[i][None, None, :] for i, p in enumerate(pos)],
+            axis=1)
         refs = encoder_reference_points(spatial_shapes, jnp.float32)
         refs = jnp.broadcast_to(refs[None], (src_flat.shape[0],) + refs.shape)
 

@@ -249,8 +249,12 @@ def linear_sum_assignment(cost: jnp.ndarray):
     if R <= C:
         rows = jnp.arange(R, dtype=jnp.int32)
         return rows, solve_lap(cost)
-    cols = jnp.arange(C, dtype=jnp.int32)
-    return solve_lap(cost.T), cols
+    # R > C: scipy returns row_ind sorted ascending with col_ind permuted;
+    # solve_lap(cost.T) yields row-per-column order, so re-sort to keep the
+    # documented contract
+    rows = solve_lap(cost.T)
+    order = jnp.argsort(rows)
+    return rows[order], jnp.arange(C, dtype=jnp.int32)[order]
 
 
 def match_padded(cost: jnp.ndarray, valid: jnp.ndarray,

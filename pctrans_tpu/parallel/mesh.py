@@ -44,9 +44,22 @@ def initialize_distributed(coordinator: Optional[str] = None,
         num_processes = int(n) if n else None
     if process_id is None:
         r = env.get("PROCESS_ID") or env.get("RANK")
-        process_id = int(r) if r else (0 if r == "0" else None)
+        process_id = int(r) if r else None
     if coordinator is None and num_processes is None:
-        return 0  # single-process run; nothing to rendezvous
+        # No explicit rendezvous config.  This function is only called when
+        # the user asked for distributed (--distributed / COORDINATOR_ADDRESS
+        # in main.py), so let JAX auto-detect the cluster (Cloud TPU pods,
+        # GKE, Slurm) — silently returning would leave each pod host
+        # training an INDEPENDENT model into the same OUTPUT_PATH.  Where
+        # there is no cluster to detect, initialize() raises without
+        # touching any backend and we stay single-process.
+        try:
+            jax.distributed.initialize()
+            return jax.process_index()
+        except Exception as e:
+            print(f"[distributed] no cluster auto-detected "
+                  f"({type(e).__name__}: {e}); running single-process")
+            return 0
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

@@ -50,7 +50,9 @@ class Monitor:
         import jax
 
         start, stop = self.profile_iters
-        if iteration == start and not self._profiling:
+        # >= start (not ==): a run resumed past the window's start should
+        # still capture the remaining overlap instead of silently skipping
+        if start <= iteration < stop and not self._profiling:
             trace_dir = os.path.join(self.output_dir, "profile")
             jax.profiler.start_trace(trace_dir)
             self._profiling = True

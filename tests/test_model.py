@@ -93,6 +93,37 @@ class TestPixelDecoder:
         assert enc_top.shape == (2, 4, 4, 32)             # res5'
         assert [m.shape[1] for m in ms] == [4, 8, 16]     # res5', res4', res3'
 
+    def test_level_embed_rides_positional_stream_only(self):
+        """Reference msdeformattn.py:74-76: level_embed joins the positional
+        embedding (lvl_pos_embed = pos + level_embed), never the src/value
+        stream.  With the offset and attention-weight projections zeroed,
+        the encoder output depends only on the value stream — so changing
+        level_embed must not change the output at all."""
+        dec = MSDeformAttnPixelDecoder(conv_dim=32, mask_dim=8, norm="GN",
+                                       transformer_layers=1, train=False)
+        rs = np.random.RandomState(0)
+        feats = {n: jnp.asarray(rs.randn(1, s, s, c), jnp.float32)
+                 for n, s, c in (("res2", 32, 64), ("res3", 16, 128),
+                                 ("res4", 8, 256), ("res5", 4, 512))}
+        vars_ = jax.jit(dec.init)(jax.random.key(0), feats)
+
+        def zero_query_projections(params):
+            p = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+            layer = p["encoder_layer0"]["self_attn"]
+            for k in ("sampling_offsets", "attention_weights"):
+                layer[k] = {n: jnp.zeros_like(v) for n, v in layer[k].items()}
+            return p
+
+        params = zero_query_projections(vars_["params"])
+        out_a = jax.jit(dec.apply)({"params": params}, feats)
+        params_b = dict(params)
+        params_b["level_embed"] = params["level_embed"] + 37.0
+        out_b = jax.jit(dec.apply)({"params": params_b}, feats)
+        for a, b in zip(jax.tree_util.tree_leaves(out_a),
+                        jax.tree_util.tree_leaves(out_b)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
 
 class TestFullModel:
     def test_forward_shapes(self):
@@ -157,8 +188,12 @@ class TestFullModel:
         # Pointwise worst-case bounds are not meaningful: the decoder's
         # attn-mask threshold (sigmoid < 0.5) is a discrete branch that can
         # flip under dtype noise at random init.  Require strong global
-        # agreement instead.
-        assert np.corrcoef(m32, m16)[0, 1] > 0.98
+        # agreement instead.  (Bar calibrated at random init: ~0.95 since the
+        # level_embed moved off the value stream — the old placement rode a
+        # large per-level constant through the values, inflating the
+        # correlation with common-mode signal; trained models track far
+        # tighter.)
+        assert np.corrcoef(m32, m16)[0, 1] > 0.9
         sm32 = np.asarray(out32["sem_mask"]).ravel()
         sm16 = np.asarray(out16["sem_mask"]).ravel()
         assert np.corrcoef(sm32, sm16)[0, 1] > 0.99

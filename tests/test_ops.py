@@ -108,6 +108,8 @@ class TestLAP:
         assert cost[np.asarray(rows), np.asarray(cols)].sum() == pytest.approx(
             cost[srows, scols].sum(), abs=1e-3
         )
+        # scipy contract: for R > C, row_ind is sorted ascending
+        assert (np.diff(np.asarray(rows)) > 0).all()
 
     def test_match_padded_ignores_invalid(self, rng):
         Q, G = 12, 6
