@@ -312,3 +312,63 @@ class TestPostprocessParity:
         ours = mask_nms(masks, scores, thres=0.72)
         ref = self._torch_mask_nms(masks, scores, 0.72)
         np.testing.assert_allclose(ours, ref)
+
+
+class TestDeformableEncoderLayerParity:
+    def test_matches_torch_transcription(self):
+        """Full deformable encoder layer (msdeformattn.py:92-133 + the
+        MSDeformAttn module ops/modules/ms_deform_attn.py:82-125) replayed
+        in torch with shared weights: value/offset/weight projections,
+        softmax over (levels x points), per-level (W, H) offset
+        normalization, grid_sample blending, output projection, residual +
+        LayerNorm, FFN, LayerNorm.  This is the encoder-side counterpart of
+        the decoder-layer parity tests (the component with no coverage when
+        the level-embed placement bug slipped in)."""
+        from test_ops import msda_torch_oracle
+
+        from pctrans_tpu.models.pixel_decoder import (
+            MSDeformAttnEncoderLayer,
+            encoder_reference_points,
+        )
+
+        d_model, heads, points = 16, 2, 2
+        shapes = ((6, 8), (3, 4), (2, 2))
+        S = sum(h * w for h, w in shapes)
+        rs = np.random.RandomState(7)
+        src = rs.randn(2, S, d_model).astype(np.float32)
+        pos = rs.randn(2, S, d_model).astype(np.float32)
+        refs = np.asarray(encoder_reference_points(shapes))
+        refs = np.broadcast_to(refs[None], (2,) + refs.shape)
+
+        layer = MSDeformAttnEncoderLayer(
+            d_model=d_model, d_ffn=32, n_levels=3, n_heads=heads,
+            n_points=points, train=False)
+        vars_ = jit_init(layer, jnp.asarray(src), jnp.asarray(pos),
+                         jnp.asarray(refs), seed=5, static=(shapes,))
+        out = np.asarray(jit_apply(
+            layer, vars_, jnp.asarray(src), jnp.asarray(pos),
+            jnp.asarray(refs), static=(shapes,)))
+
+        # ---- torch transcription ----
+        p = vars_["params"]
+        pa = p["self_attn"]
+        t_src = torch.from_numpy(src)
+        query = t_src + torch.from_numpy(pos)
+
+        value = lin(pa["value_proj"])(t_src).view(2, S, heads, d_model // heads)
+        offsets = lin(pa["sampling_offsets"])(query).view(
+            2, S, heads, 3, points, 2)
+        attn = lin(pa["attention_weights"])(query).view(
+            2, S, heads, 3 * points)
+        attn = torch.softmax(attn, -1).view(2, S, heads, 3, points)
+        normalizer = torch.tensor([[w, h] for (h, w) in shapes]).float()
+        locs = (torch.from_numpy(refs)[:, :, None, :, None, :]
+                + offsets / normalizer[None, None, None, :, None, :])
+        blended = msda_torch_oracle(value.numpy(), shapes, locs.numpy(),
+                                    attn.numpy())
+        attn_out = lin(pa["output_proj"])(torch.from_numpy(blended))
+        x = layernorm(p["norm1"], t_src + attn_out)
+        y = lin(p["linear2"])(torch.relu(lin(p["linear1"])(x)))
+        ref_out = layernorm(p["norm2"], x + y).numpy()
+
+        np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-4)
