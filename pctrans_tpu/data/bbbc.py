@@ -49,10 +49,13 @@ def aug_rotate(rng: np.random.RandomState, img: np.ndarray, label: np.ndarray):
     import cv2
 
     h, w = img.shape[-2:]
-    M = cv2.getRotationMatrix2D((h / 2, w / 2), rng.rand() * 360.0, 1)
-    img = cv2.warpAffine(img, M, (h, w), flags=cv2.INTER_LINEAR,
+    # cv2 conventions: center is (x, y) = (w/2, h/2) and dsize is (w, h) —
+    # the reference passed (height, width), which only works for the square
+    # 572x572 crop (same fix as volume_augment.Rotate)
+    M = cv2.getRotationMatrix2D((w / 2, h / 2), rng.rand() * 360.0, 1)
+    img = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR,
                          borderMode=cv2.BORDER_CONSTANT)
-    label = cv2.warpAffine(label.astype(np.float32), M, (h, w),
+    label = cv2.warpAffine(label.astype(np.float32), M, (w, h),
                            flags=cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT)
     return img, label
 

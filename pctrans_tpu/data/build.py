@@ -65,6 +65,11 @@ def build_volume_dataset(cfg, mode: str):
     sample_size = list(cfg.MODEL.INPUT_SIZE)
     if len(sample_size) == 2:
         sample_size = [1] + sample_size
+    label_size = list(cfg.MODEL.OUTPUT_SIZE or [])
+    if len(label_size) == 2:
+        label_size = [1] + label_size
+    if not label_size or tuple(label_size) == tuple(sample_size):
+        label_size = None  # same-size nets: labels match the input crop
     if mode == "train":
         stride = (1, 1, 1)
         iter_num = cfg.SOLVER.ITERATION_TOTAL * cfg.SOLVER.SAMPLES_PER_BATCH
@@ -77,6 +82,7 @@ def build_volume_dataset(cfg, mode: str):
     rj = cfg.DATASET.REJECT_SAMPLING
     shared = dict(
         mode=mode, sample_volume_size=sample_size, sample_stride=stride,
+        sample_label_size=label_size,
         augmentor=augmentor, target_opt=cfg.MODEL.TARGET_OPT,
         weight_opt=cfg.MODEL.WEIGHT_OPT,
         reject_size_thres=rj.SIZE_THRES, reject_diversity=rj.DIVERSITY,

@@ -45,9 +45,7 @@ TEST_PLANTS = [
 ]
 
 
-def relabel_consecutive(label: np.ndarray) -> np.ndarray:
-    ids, inv = np.unique(label, return_inverse=True)
-    return inv.reshape(label.shape).astype(np.int32)
+from .label_utils import relabel_consecutive  # shared 0-preserving relabel
 
 
 def random_resized_crop_params(

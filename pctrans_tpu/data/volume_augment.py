@@ -30,6 +30,16 @@ from scipy import ndimage
 _INTERP = {"img": cv2.INTER_LINEAR, "mask": cv2.INTER_NEAREST}
 
 
+def _cv2_safe(vol):
+    """cv2 warp/resize/remap reject wide integer dtypes (uint32/int64 EM
+    label volumes raise 'Assertion failed' on this cv2 build); round-trip
+    through float32 — exact under INTER_NEAREST for instance ids < 2**24.
+    Returns (converted, dtype-to-restore-or-None)."""
+    if vol.dtype.kind in "iu" and vol.dtype.itemsize > 2:
+        return vol.astype(np.float32), vol.dtype
+    return vol, None
+
+
 class DataAugment:
     """Base contract (augmentor.py:6-64): ``sample_params`` announces the
     extra sample size this transform needs; ``__call__(sample, rs)`` applies
@@ -94,6 +104,7 @@ class Rotate(DataAugment):
 
     @staticmethod
     def _warp_stack(vol, M, interp):
+        vol, restore = _cv2_safe(vol)
         out = vol.copy()
         h, w = vol.shape[-2:]
         # cv2 dsize is (width, height); the reference passed (height, width)
@@ -101,7 +112,7 @@ class Rotate(DataAugment):
         for z in range(vol.shape[-3]):
             out[z] = cv2.warpAffine(vol[z], M, (w, h), 1.0, flags=interp,
                                     borderMode=cv2.BORDER_CONSTANT)
-        return out
+        return out if restore is None else out.astype(restore)
 
     def __call__(self, sample, random_state):
         if self.rot90:
@@ -146,6 +157,7 @@ class Rescale(DataAugment):
     def _apply(self, vol, xp, yp, ttype):
         x0, x1, xm = xp
         y0, y1, ym = yp
+        vol, restore = _cv2_safe(vol)
         t = vol.copy()
         t = t[:, y0:y1] if ym == "upscale" else np.pad(
             t, ((0, 0), (y0, y1), (0, 0)))
@@ -155,7 +167,7 @@ class Rescale(DataAugment):
         for z in range(vol.shape[0]):
             out[z] = cv2.resize(t[z], (vol.shape[2], vol.shape[1]),
                                 interpolation=_INTERP[ttype])
-        return out
+        return out if restore is None else out.astype(restore)
 
     def __call__(self, sample, random_state):
         def rand_scale():
@@ -186,16 +198,19 @@ class Elastic(DataAugment):
 
     def _remap(self, vol, mapx, mapy, ttype):
         interp = _INTERP[ttype]
+        vol, restore = _cv2_safe(vol)
         if vol.ndim == 3:
-            return np.stack([
+            out = np.stack([
                 cv2.remap(vol[z], mapx, mapy, interp,
                           borderMode=cv2.BORDER_CONSTANT)
                 for z in range(vol.shape[0])], 0)
-        return np.stack([
-            np.stack([cv2.remap(vol[c, z], mapx, mapy, interp,
-                                borderMode=cv2.BORDER_CONSTANT)
-                      for c in range(vol.shape[0])], 0)
-            for z in range(vol.shape[1])], 1)
+        else:
+            out = np.stack([
+                np.stack([cv2.remap(vol[c, z], mapx, mapy, interp,
+                                    borderMode=cv2.BORDER_CONSTANT)
+                          for c in range(vol.shape[0])], 0)
+                for z in range(vol.shape[1])], 1)
+        return out if restore is None else out.astype(restore)
 
     def __call__(self, sample, random_state):
         h, w = sample["image"].shape[-2:]
@@ -281,12 +296,13 @@ class MisAlignment(DataAugment):
 
     def _rot(self, vol, idx, M, hw, ttype, mode):
         interp = _INTERP[ttype]
+        vol, restore = _cv2_safe(vol)
         vol = vol.copy()
         rng = [idx] if mode == "slip" else range(idx, vol.shape[0])
         for i in rng:
             vol[i] = cv2.warpAffine(vol[i], M, hw, 1.0, flags=interp,
                                     borderMode=cv2.BORDER_CONSTANT)
-        return vol
+        return vol if restore is None else vol.astype(restore)
 
     def __call__(self, sample, random_state):
         img = sample["image"]
@@ -660,6 +676,15 @@ class Compose:
 
     def __call__(self, sample, random_state: Optional[np.random.RandomState] = None):
         rs = random_state or np.random.RandomState()
+        if sample["image"].ndim != 3:
+            # most transforms index axis 0 as z and (1, 2) as (y, x) — a
+            # 4D [c, z, y, x] image would be corrupted SILENTLY (rot90 in
+            # the (z, y) plane, per-channel warps written to wrong slices).
+            # The reference augmentors are equally 3D-image-only.
+            raise NotImplementedError(
+                f"Compose augments 3D [z, y, x] images; got shape "
+                f"{sample['image'].shape}. Augment multi-channel volumes "
+                f"per channel or disable AUGMENTOR for this data.")
         sample["image"] = sample["image"].astype(np.float32)
         for name, t in self.additional_targets.items():
             if t == "img":
@@ -747,8 +772,14 @@ def build_train_augmentor(cfg, keep_uncropped=False, keep_non_smoothed=False):
     if on(aug.get("COPYPASTE", None)):
         transforms.append(CopyPasteAugmentor(p=aug.COPYPASTE.P, **kw))
 
+    # input_size = MODEL.INPUT_SIZE (reference build.py:161): the augmented
+    # item must come back at the model's INPUT size; the dataset crops
+    # labels to OUTPUT_SIZE separately when they differ (valid-conv nets)
+    in_size = list(cfg.MODEL.INPUT_SIZE)
+    if len(in_size) == 2:
+        in_size = [1] + in_size
     return Compose(transforms,
-                   input_size=tuple(cfg.MODEL.OUTPUT_SIZE),
+                   input_size=tuple(in_size),
                    smooth=getattr(aug, "SMOOTH", True),
                    keep_uncropped=keep_uncropped,
                    keep_non_smoothed=keep_non_smoothed,

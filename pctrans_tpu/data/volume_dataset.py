@@ -45,19 +45,16 @@ def _grid_starts(extent: int, window: int, stride: int) -> List[int]:
     return starts
 
 
-def relabel_consecutive(seg: np.ndarray) -> np.ndarray:
-    """Map instance ids to 0..K (reference DATASET.REDUCE_LABEL)."""
-    uniq = np.unique(seg)
-    lut = np.zeros(int(uniq.max()) + 1 if uniq.size else 1, seg.dtype)
-    lut[uniq] = np.arange(len(uniq), dtype=seg.dtype)
-    return lut[seg]
+from .label_utils import relabel_consecutive  # shared 0-preserving relabel
 
 
 class VolumeDataset:
     """Random-crop (train) / stride-grid (val, test) sampler over a list of
     in-memory volumes.
 
-    ``volume``: list of [z, y, x] or [c, z, y, x] arrays; ``label`` and
+    ``volume``: list of [z, y, x] or [c, z, y, x] arrays (multi-channel
+    volumes only without an augmentor — Compose is 3D-image-only and
+    raises on 4D); ``label`` and
     ``valid_mask`` (optional) must match spatially.  Items are dicts of
     fixed-shape float32 arrays ready for ``np.stack`` batching:
 
@@ -98,6 +95,10 @@ class VolumeDataset:
         self.valid_mask = ([np.asarray(m) for m in _as_list(valid_mask)]
                            if valid_mask is not None else None)
         self.sample_size = tuple(int(s) for s in sample_volume_size)
+        # label crop size (valid-conv nets emit smaller outputs); defaults
+        # to the input sample size
+        self.label_size = (tuple(int(s) for s in sample_label_size)
+                           if sample_label_size else self.sample_size)
         self.augmentor = augmentor
         # augmentors inflate the crop so rotations/rescales can center-crop
         # back to sample_size (Compose.sample_size)
@@ -175,8 +176,12 @@ class VolumeDataset:
 
     # ---------------------------------------------------------------- items
     def _normalize(self, img: np.ndarray) -> np.ndarray:
+        # integer-typed volumes are uint8-range: decide by DTYPE, not by the
+        # crop's max — a dark crop (black borders, reflect padding) of a
+        # uint8 volume must scale identically to a bright one
+        is_int = np.issubdtype(img.dtype, np.integer)
         img = img.astype(np.float32)
-        if img.max() > 1.5:  # uint8-range volume
+        if is_int:
             img = img / 255.0
         return (img - self.data_mean) / self.data_std
 
@@ -216,6 +221,14 @@ class VolumeDataset:
 
         out = {"image": self._finalize_shape(self._normalize(img))}
         if lab is not None:
+            if self.label_size != self.sample_size:
+                # valid-conv nets: labels center-cropped to OUTPUT_SIZE
+                # (reference sample_label_size semantics)
+                off = [(s - l) // 2 for s, l in
+                       zip(lab.shape[-3:], self.label_size)]
+                lab = lab[..., off[0]:off[0] + self.label_size[0],
+                          off[1]:off[1] + self.label_size[1],
+                          off[2]:off[2] + self.label_size[2]]
             if self.do_relabel:
                 lab = relabel_consecutive(lab.astype(np.int64))
             targets = seg_to_targets(lab, self.target_opt,
@@ -286,10 +299,15 @@ class TileDataset:
                     z0 = int(iz * step[0] * frac)
                     y0 = int(iy * step[1] * frac)
                     x0 = int(ix * step[2] * frac)
+                    # end = int((i*frac + 1) * step): non-divisible extents
+                    # must not leave unowned voxels between chunks (a start
+                    # advancing by the float step with an int(step) window
+                    # drops rows); in half-overlap mode this is the same
+                    # step-sized window
                     self._coords.append(
-                        (z0, min(z0 + int(step[0]), self.extent[0]),
-                         y0, min(y0 + int(step[1]), self.extent[1]),
-                         x0, min(x0 + int(step[2]), self.extent[2])))
+                        (z0, min(int((iz * frac + 1) * step[0]), self.extent[0]),
+                         y0, min(int((iy * frac + 1) * step[1]), self.extent[1]),
+                         x0, min(int((ix * frac + 1) * step[2]), self.extent[2])))
 
         ind = list(chunk_ind) if chunk_ind else list(range(len(self._coords)))
         if chunk_ind_split:  # "rank-world": shard chunk list across hosts

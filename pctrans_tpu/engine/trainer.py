@@ -311,12 +311,12 @@ class Trainer:
             # flip/transpose ensemble over the full forward (reference
             # TestAugmentor; built in test mode, trainer.py:78-81) —
             # averaging needs real probabilities, not binarized masks.
-            # With a postprocess threshold, every member runs full-Q: the
-            # per-member lossy-TOP_K fallback would otherwise have to fire
-            # identically across flipped variants to keep the blended
-            # stack's query count consistent, which nothing guarantees.
-            use_full = (threshold is not None and 0 < self._top_k
-                        < self.model_config.num_queries)
+            # Every member runs full-Q whenever TOP_K would filter: each
+            # flipped variant independently reorders queries by peak score,
+            # so slot k of the member stacks holds DIFFERENT queries and the
+            # blend would average unrelated masks (and a lossy member would
+            # drop above-threshold instances).
+            use_full = 0 < self._top_k < self.model_config.num_queries
 
             def fwd(x):
                 step = self._full_eval_step(None) if use_full else self._eval_step

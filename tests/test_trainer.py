@@ -164,11 +164,10 @@ class TestTrainerLoop:
         assert np.isfinite(probs).all()
 
     def test_tta_top_k_uses_full_queries(self, tmp_path):
-        """With a postprocess threshold, the TTA ensemble runs every member
-        full-Q: a per-member lossy-TOP_K fallback could fire on some flipped
-        variants and not others, leaving the blend with mismatched query
-        counts — and a lossy member would drop above-threshold instance
-        masks from the average."""
+        """The TTA ensemble runs every member full-Q whenever TOP_K would
+        filter: each flipped variant reorders queries by its own peak
+        scores, so slot k of the member stacks holds different queries and
+        a top-K blend would average unrelated masks."""
         cfg = tiny_cfg(tmp_path)  # TOP_K = 4 of 10 queries
         cfg.INFERENCE.AUG_MODE = "mean"
         cfg.INFERENCE.AUG_NUM = 4
@@ -177,9 +176,8 @@ class TestTrainerLoop:
         imgs = np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32)
         probs = trainer.predict_probs(imgs, threshold=1e-4)
         assert probs.shape[1] == cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
-        # without a threshold the lean TOP_K ensemble is kept
-        probs = trainer.predict_probs(imgs)
-        assert probs.shape[1] == cfg.INFERENCE.TOP_K
+        probs = trainer.predict_probs(imgs)  # no threshold: still full-Q
+        assert probs.shape[1] == cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
 
 
 class TestObservability:

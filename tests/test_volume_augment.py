@@ -136,7 +136,9 @@ class TestCompose:
     def test_build_from_cfg(self):
         cfg = get_cfg_defaults()
         cfg.defrost()
-        cfg.MODEL.OUTPUT_SIZE = [4, 32, 32]
+        # the augmented item comes back at MODEL.INPUT_SIZE (reference
+        # build.py:161); OUTPUT_SIZE only governs the label crop
+        cfg.MODEL.INPUT_SIZE = [4, 32, 32]
         aug = build_train_augmentor(cfg)
         assert len(aug.transforms) >= 5
         zs, ys, xs = aug.sample_size

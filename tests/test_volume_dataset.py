@@ -199,3 +199,92 @@ class TestConfigPath:
         img, lab, vm = load_volume_inputs(cfg, "train")
         assert img[0].shape == (6, 20, 20)
         assert lab is None and vm is None
+
+
+class TestReviewRegressions:
+    def test_relabel_preserves_instances_without_background(self):
+        # a fully-labeled crop (no 0 anywhere) must keep every instance:
+        # the naive unique->arange map sent the smallest id to background
+        seg = np.array([[3, 3, 5], [5, 5, 3]], np.int64)
+        out = relabel_consecutive(seg)
+        assert 0 not in out
+        assert len(np.unique(out)) == 2
+        np.testing.assert_array_equal(out, [[1, 1, 2], [2, 2, 1]])
+
+    def test_relabel_keeps_background(self):
+        seg = np.array([[0, 7], [7, 9]], np.int32)
+        out = relabel_consecutive(seg)
+        np.testing.assert_array_equal(out, [[0, 1], [1, 2]])
+
+    def test_chunk_grid_covers_every_voxel(self):
+        # extent 10 / chunk_num 4 previously left z=4 and z=9 unowned
+        from pctrans_tpu.data.volume_dataset import TileDataset
+        import json, tempfile, os
+
+        meta = {"depth": 10, "height": 10, "width": 10, "image": []}
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "v.json")
+            json.dump(meta, open(p, "w"))
+            ds = TileDataset(volume_json=p, chunk_num=(4, 4, 4),
+                             chunk_stride=False, mode="test")
+            owned = np.zeros((10, 10, 10), bool)
+            for (z0, z1, y0, y1, x0, x1) in ds._coords:
+                owned[z0:z1, y0:y1, x0:x1] = True
+            assert owned.all()
+
+    def test_normalize_is_crop_independent(self):
+        ds = VolumeDataset(volume=[np.zeros((4, 8, 8), np.uint8)],
+                           mode="test", sample_volume_size=(2, 4, 4))
+        dark = ds._normalize(np.ones((2, 4, 4), np.uint8))
+        bright = ds._normalize(np.full((2, 4, 4), 200, np.uint8))
+        assert dark.max() == pytest.approx((1 / 255 - 0.5) / 0.5)
+        assert bright.max() == pytest.approx((200 / 255 - 0.5) / 0.5)
+
+    def test_label_center_crop_for_valid_conv(self):
+        vol = np.random.RandomState(0).rand(8, 16, 16).astype(np.float32)
+        lab = np.zeros((8, 16, 16), np.int32)
+        lab[:, 6:10, 6:10] = 1
+        ds = VolumeDataset(volume=[vol], label=[lab], mode="train",
+                           sample_volume_size=(4, 12, 12),
+                           sample_label_size=(4, 8, 8),
+                           target_opt=("0",), weight_opt=(("1",),),
+                           iter_num=2)
+        item = ds.__getitem__(0, np.random.RandomState(0))
+        assert item["image"].shape[-2:] == (12, 12)
+        assert item["target_0"].shape[-2:] == (8, 8)
+
+
+class TestAugmentorRegressions:
+    def test_wide_integer_labels_survive_warps(self):
+        from pctrans_tpu.data.volume_augment import Elastic, Rotate
+
+        rs = np.random.RandomState(0)
+        img = rs.rand(2, 16, 16).astype(np.float32)
+        lab = (rs.randint(0, 3, (2, 16, 16)).astype(np.uint32)
+               + np.uint32(70000))   # ids beyond uint16
+        for aug in (Rotate(rot90=False, p=1.0),
+                    Elastic(alpha=4.0, sigma=2.0, p=1.0)):
+            out = aug({"image": img.copy(), "label": lab.copy()},
+                      np.random.RandomState(1))
+            assert out["label"].dtype == np.uint32
+            # nearest-neighbor warp: only original ids may appear
+            assert set(np.unique(out["label"])) <= (set(np.unique(lab)) | {0})
+
+    def test_compose_rejects_4d_images(self):
+        from pctrans_tpu.data.volume_augment import Compose, Grayscale
+
+        comp = Compose([Grayscale(p=1.0)], input_size=(2, 8, 8))
+        with pytest.raises(NotImplementedError):
+            comp({"image": np.zeros((2, 2, 8, 8), np.float32),
+                  "label": np.zeros((2, 8, 8), np.int32)},
+                 np.random.RandomState(0))
+
+    def test_bbbc_rotate_non_square(self):
+        from pctrans_tpu.data.bbbc import aug_rotate
+
+        rs = np.random.RandomState(0)
+        img = rs.rand(20, 30).astype(np.float32)
+        lab = (rs.rand(20, 30) > 0.7).astype(np.int32)
+        out_img, out_lab = aug_rotate(rs, img, lab)
+        assert out_img.shape == (20, 30)
+        assert out_lab.shape == (20, 30)
