@@ -104,10 +104,12 @@ def masks2flows(masks: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 def seg2diffgrads(label: np.ndarray) -> np.ndarray:
     """Instance labels -> flow targets, channel-first.
 
-    (y, x) -> [2, y, x]; (z, y, x) with z > 1 -> [2, z, y, x] computed
-    per-slice (reference data_diffusion.py:5-23).
+    (y, x) -> [2, y, x]; (z, y, x) -> [2, z, y, x] computed per-slice
+    (reference data_diffusion.py:5-23).  The input rank is preserved (a
+    z=1 volume returns [2, 1, y, x], NOT [2, y, x]) so the flow target
+    stacks like every other [C, z, y, x] TARGET_OPT output.
     """
-    masks = label.squeeze().astype(np.int32)
+    masks = np.asarray(label).astype(np.int32)
     if masks.ndim == 2:
         return masks2flows(masks)[0].astype(np.float32)
     if masks.ndim == 3:

@@ -209,6 +209,8 @@ def edt_instance(label: np.ndarray, mode: str = "2d", quantize: bool = True,
                  padding: bool = False) -> np.ndarray:
     """Instance EDT target, optionally quantized (data_transform.py:57-84)."""
     assert mode in ("2d", "3d")
+    if label.ndim == 2:  # 2D labels: one z slice (same wrap as branch '4')
+        label = label[None]
     if mode == "3d":
         distance, _ = distance_transform(label, resolution=resolution,
                                          padding=padding)

@@ -24,10 +24,21 @@ from scipy.ndimage import zoom
 
 
 def _imread(path: str) -> np.ndarray:
-    from PIL import Image
+    # cv2 IMREAD_UNCHANGED preserves bit depth (PIL silently converts
+    # 16-bit RGB PNGs to 8-bit "RGB" mode); channels reordered to RGB for
+    # parity with the reference's imageio loader
+    import cv2
 
-    with Image.open(path) as im:
-        return np.array(im)
+    data = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if data is None:  # formats cv2 can't parse: fall back to PIL
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.array(im)
+    if data.ndim == 3 and data.shape[2] >= 3:
+        data = np.ascontiguousarray(
+            np.concatenate([data[..., 2::-1], data[..., 3:]], axis=2))
+    return data
 
 
 def _tiffread_volume(path: str) -> np.ndarray:
@@ -56,7 +67,9 @@ def readimg_as_vol(filename: str, drop_channel: bool = False) -> np.ndarray:
     if data.ndim == 3 and not drop_channel:
         return data.transpose(2, 0, 1)
     if drop_channel and data.ndim == 3:
-        data = np.mean(data, axis=-1).astype(np.uint8)
+        # preserve the source dtype (reference data_io.py keeps orig_dtype);
+        # hardcoding uint8 truncated 16-bit microscopy values mod 256
+        data = np.mean(data, axis=-1).astype(data.dtype)
     return data[None]
 
 
@@ -121,6 +134,12 @@ def savevol(filename: str, vol: np.ndarray, dataset: str = "main",
         os.makedirs(filename, exist_ok=True)
         for i in range(vol.shape[0]):
             Image.fromarray(vol[i]).save(os.path.join(filename, f"{i:04d}.png"))
+    elif format in ("tif", "tiff"):
+        import imageio
+
+        imageio.volwrite(filename, vol)  # reference data_io.py savevol
+    else:
+        raise ValueError(f"Unknown savevol format: {format!r}")
 
 
 def create_json(ndim: int = 1, dtype: str = "uint8",

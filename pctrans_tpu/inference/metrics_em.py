@@ -5,8 +5,10 @@ Equivalents of the reference ``connectomics/utils/evaluate.py``:
 ``adapted_rand``:11 (SNEMI3D 1 - Rand-F-score, zero GT label excluded),
 ``voi``:81 / ``split_vi``:118 (conditional entropies H(X|Y), H(Y|X) over the
 label contingency table, gala-style with ignored labels), ``confusion_matrix``
-:364 and ``get_binary_jaccard``:374.  All are contingency-table computations
-on flattened label volumes — pure numpy, no sparse-matrix scaffolding.
+:364 and ``get_binary_jaccard``:374.  The contingency table is accumulated
+SPARSELY (unique label pairs + counts), like the reference's scipy.sparse
+path: a routine connectomics eval with ~30k GT x ~30k predicted instances
+would need a ~7 GB dense table whose entries are overwhelmingly zero.
 """
 
 from __future__ import annotations
@@ -16,24 +18,26 @@ from typing import Sequence, Tuple
 import numpy as np
 
 
-def _contingency(seg: np.ndarray, gt: np.ndarray) -> np.ndarray:
-    """Dense contingency counts [n_gt_labels, n_seg_labels].
+def _contingency_pairs(seg: np.ndarray, gt: np.ndarray):
+    """Sparse contingency: unique (gt, seg) label pairs with voxel counts.
 
-    Labels are remapped to consecutive ids first (0 stays 0), so the table
-    is bounded by the number of DISTINCT labels — sparse/24-bit id volumes
-    (e.g. vast2Seg outputs) would otherwise demand a (max_id+1)^2 table
-    (the reference used scipy.sparse for the same reason, evaluate.py:52).
-    Callers receive rows/cols indexed by the remapped ids, which is
-    invariant for every metric here (they only use counts).
+    Labels are remapped to consecutive ids (0 stays 0; a guaranteed 0 row
+    and column keeps background semantics even when absent).  Returns
+    (rows, cols, counts, gt_ids, seg_ids): counts[k] voxels have the
+    gt_ids[rows[k]] / seg_ids[cols[k]] label pair.  Memory is O(distinct
+    pairs) — the reference used scipy.sparse for the same reason
+    (evaluate.py:52); a dense [n_gt, n_seg] table is ~7 GB at a routine
+    30k x 30k connectomics eval.
     """
     seg = np.ravel(seg).astype(np.int64)
     gt = np.ravel(gt).astype(np.int64)
     gt_ids, gt = np.unique(np.concatenate([[0], gt]), return_inverse=True)
     seg_ids, seg = np.unique(np.concatenate([[0], seg]), return_inverse=True)
     gt, seg = gt[1:], seg[1:]
-    n_a, n_b = len(gt_ids), len(seg_ids)
-    flat = gt * n_b + seg
-    return np.bincount(flat, minlength=n_a * n_b).reshape(n_a, n_b)
+    n_b = len(seg_ids)
+    pairs, counts = np.unique(gt * n_b + seg, return_counts=True)
+    return (pairs // n_b, pairs % n_b, counts.astype(np.float64),
+            gt_ids, seg_ids)
 
 
 def adapted_rand(seg: np.ndarray, gt: np.ndarray, all_stats: bool = False):
@@ -41,16 +45,18 @@ def adapted_rand(seg: np.ndarray, gt: np.ndarray, all_stats: bool = False):
     with the zero GT component excluded; the reference's quirk of adding
     ``sum(gt>0 & seg==0) / n`` to both the B- and AB-sums is preserved."""
     n = gt.size
-    p = _contingency(seg, gt).astype(np.float64)
-    a = p[1:, :]              # GT foreground rows, all seg labels
-    b = p[1:, 1:]             # both foreground
-    c = p[1:, 0]              # GT foreground predicted background
-
-    a_i = a.sum(1)
-    b_i = b.sum(0)
+    rows, cols, cnt, gt_ids, seg_ids = _contingency_pairs(seg, gt)
+    fg = rows > 0                         # GT foreground pairs
+    both = fg & (cols > 0)                # both foreground
+    # a_i: per-GT-row sums over ALL seg labels; b_i: per-seg-col sums over
+    # GT-foreground rows and seg-foreground cols; c: GT fg -> seg bg voxels
+    a_i = np.bincount(rows[fg], weights=cnt[fg], minlength=len(gt_ids))[1:]
+    b_i = np.bincount(cols[both], weights=cnt[both],
+                      minlength=len(seg_ids))[1:]
+    c_sum = float(cnt[fg & (cols == 0)].sum())
     sum_a = float((a_i * a_i).sum())
-    sum_b = float((b_i * b_i).sum()) + c.sum() / n
-    sum_ab = float((b * b).sum()) + c.sum() / n
+    sum_b = float((b_i * b_i).sum()) + c_sum / n
+    sum_ab = float((cnt[both] ** 2).sum()) + c_sum / n
 
     precision = sum_ab / sum_b
     recall = sum_ab / sum_a
@@ -71,21 +77,21 @@ def split_vi(x: np.ndarray, y: np.ndarray,
     """(H(Y|X), H(X|Y)) — the false-split / false-merge conditional
     entropies (evaluate.py:118-152).  Ignored labels' voxels are dropped
     from the joint distribution (norm over the remainder)."""
-    p = _contingency(x, y).astype(np.float64)  # rows: y labels, cols: x labels
-    for iy in ignore_y:
-        if iy < p.shape[0]:
-            p[iy, :] = 0
-    for ix in ignore_x:
-        if ix < p.shape[1]:
-            p[:, ix] = 0
-    total = p.sum()
+    # rows: y labels, cols: x labels.  Ignored labels are RAW label values
+    # (gala/reference semantics) translated to remapped rows/cols — indexing
+    # the remapped table by raw value silently ignored the wrong label.
+    rows, cols, cnt, y_ids, x_ids = _contingency_pairs(x, y)
+    keep = (~np.isin(y_ids[rows], np.asarray(list(ignore_y), np.int64))
+            & ~np.isin(x_ids[cols], np.asarray(list(ignore_x), np.int64)))
+    rows, cols, cnt = rows[keep], cols[keep], cnt[keep]
+    total = cnt.sum()
     if total == 0:
         return 0.0, 0.0
-    p = p / total
-    px = p.sum(0)   # marginal over x labels
-    py = p.sum(1)   # marginal over y labels
-    hxy = -float(_xlogx(p).sum() - _xlogx(px).sum())  # H(Y|X)
-    hyx = -float(_xlogx(p).sum() - _xlogx(py).sum())  # H(X|Y)
+    pv = cnt / total
+    px = np.bincount(cols, weights=pv, minlength=len(x_ids))
+    py = np.bincount(rows, weights=pv, minlength=len(y_ids))
+    hxy = -float(_xlogx(pv).sum() - _xlogx(px).sum())  # H(Y|X)
+    hyx = -float(_xlogx(pv).sum() - _xlogx(py).sum())  # H(X|Y)
     return hxy, hyx
 
 

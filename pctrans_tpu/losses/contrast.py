@@ -79,11 +79,13 @@ def reid_losses_one_image(
     G = query4gt.shape[0]
     pos_mask, neg_mask, active = _clusters(emb_dist, query4gt, valid)
 
-    # raw dot products against each item's key query: [G, Q]
+    # raw dot products against each item's key query: [G, Q] — contract the
+    # G key rows directly instead of the full [Q, Q] gram (G << Q; only the
+    # query4gt rows are consumed).
     # (HIGHEST: on TPU the default matmul precision is bf16; the contrastive
     # logits feed a logsumexp and need full f32.)
-    gram = jnp.matmul(query, query.T, precision=jax.lax.Precision.HIGHEST)
-    c = gram[query4gt]                                  # [G, Q]
+    c = jnp.matmul(query[query4gt], query.T,
+                   precision=jax.lax.Precision.HIGHEST)  # [G, Q]
     pred = c / 2.0
     lse_neg = _masked_lse(pred, neg_mask)               # [G]
     lse_pos = _masked_lse(-pred, pos_mask)

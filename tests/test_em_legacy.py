@@ -217,3 +217,34 @@ class TestSlidingWindow:
                                        stride=(2, 4, 4), out_channels=4,
                                        blending=blending)
         np.testing.assert_allclose(out, np.ones_like(out), rtol=1e-4)
+
+
+class TestVOIIgnoreSemantics:
+    def test_ignore_is_by_raw_label_value(self):
+        """ignore_y takes RAW label values (gala/reference semantics), not
+        remapped contingency rows: ignoring GT label 255 must drop its
+        voxels even though it remaps to row 2."""
+        from pctrans_tpu.inference.metrics_em import split_vi
+
+        gt = np.zeros((4, 8), np.int64)
+        gt[:, :3] = 3
+        gt[:, 3:] = 255
+        seg = gt.copy()
+        seg[:2, 3:] = 7          # split label 255 into two
+        seg[2:, 3:] = 9
+        # without ignores the split of 255 costs conditional entropy
+        h1 = split_vi(seg, gt)
+        assert h1[1] > 0
+        # ignoring 255 (and bg 0) leaves only the perfectly-matched label 3
+        h2 = split_vi(seg, gt, ignore_x=(0,), ignore_y=(0, 255))
+        assert h2 == (0.0, 0.0)
+
+    def test_sparse_contingency_matches_dense_rand(self):
+        from pctrans_tpu.inference.metrics_em import adapted_rand
+
+        rs = np.random.RandomState(0)
+        gt = rs.randint(0, 6, (6, 10, 10))
+        seg = gt.copy()
+        seg[gt == 3] = rs.randint(6, 8, int((gt == 3).sum()))
+        err, prec, rec = adapted_rand(seg, gt, all_stats=True)
+        assert 0.0 <= err <= 1.0 and 0.0 < prec <= 1.0 and 0.0 < rec <= 1.0

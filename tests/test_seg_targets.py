@@ -237,3 +237,31 @@ class TestDiffusionGrads:
         assert outs[0].shape == (2, 24, 20)
         assert outs[1].shape == (3, 24, 20)
         np.testing.assert_array_equal(outs[1][2], self._blobs(2) > 0)
+
+
+class TestTargetRankConsistency:
+    def test_diffgrads_keep_z_axis(self):
+        """TARGET_OPT '7' on a z=1 volume must return [C, 1, y, x] like
+        every other target option — a squeezed [C, y, x] gets its channel
+        axis mis-slotted as z by VolumeDataset._finalize_shape."""
+        from pctrans_tpu.data.seg_targets import seg_to_targets
+
+        lab = np.zeros((1, 16, 16), np.int64)
+        lab[0, 4:10, 4:10] = 1
+        (grads,) = seg_to_targets(lab, ["7"])
+        assert grads.shape == (2, 1, 16, 16)
+        (combo,) = seg_to_targets(lab, ["7-0"])
+        assert combo.shape == (3, 1, 16, 16)
+        # pure-2D labels keep the 2D convention
+        (g2,) = seg_to_targets(lab[0], ["7"])
+        assert g2.shape == (2, 16, 16)
+
+    def test_edt_on_2d_label(self):
+        """TARGET_OPT '5' accepts 2D labels (same wrap as branch '4')."""
+        from pctrans_tpu.data.seg_targets import seg_to_targets
+
+        lab = np.zeros((16, 16), np.int64)
+        lab[4:10, 4:10] = 1
+        (edt,) = seg_to_targets(lab, ["5"])
+        assert edt.shape[-2:] == (16, 16)
+        assert np.isfinite(edt).all()
