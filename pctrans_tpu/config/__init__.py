@@ -39,10 +39,22 @@ def load_cfg(
 
 
 def update_inference_cfg(cfg: CfgNode) -> CfgNode:
-    """Apply inference-time overrides (reference: config/utils.py:53-120)."""
+    """Apply inference-time overrides (reference: config/utils.py:53-120):
+    the INFERENCE.* knobs overwrite their DATASET/MODEL counterparts so the
+    test volume, window size and padding can differ from training."""
     cfg = cfg.clone().defrost()
     if cfg.INFERENCE.INPUT_PATH:
         cfg.DATASET.INPUT_PATH = cfg.INFERENCE.INPUT_PATH
+    if cfg.INFERENCE.IMAGE_NAME:
+        cfg.DATASET.IMAGE_NAME = cfg.INFERENCE.IMAGE_NAME
+    if cfg.INFERENCE.OUTPUT_PATH:
+        cfg.DATASET.OUTPUT_PATH = cfg.INFERENCE.OUTPUT_PATH
+    if cfg.INFERENCE.PAD_SIZE is not None:
+        cfg.DATASET.PAD_SIZE = cfg.INFERENCE.PAD_SIZE
+    if cfg.INFERENCE.get("INPUT_SIZE", None):
+        cfg.MODEL.INPUT_SIZE = cfg.INFERENCE.INPUT_SIZE
+    if cfg.INFERENCE.get("OUTPUT_SIZE", None):
+        cfg.MODEL.OUTPUT_SIZE = cfg.INFERENCE.OUTPUT_SIZE
     cfg.SOLVER.SAMPLES_PER_BATCH = cfg.INFERENCE.SAMPLES_PER_BATCH
     return cfg
 

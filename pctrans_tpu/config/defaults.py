@@ -250,18 +250,23 @@ def get_cfg_defaults() -> CfgNode:
 
     # --------------------------------------------------------------- INFERENCE
     c.INFERENCE = CfgNode()
-    c.INFERENCE.INPUT_SIZE = [1, 1024, 1024]
-    c.INFERENCE.OUTPUT_SIZE = [1, 1024, 1024]
+    # None = inherit MODEL.INPUT_SIZE/OUTPUT_SIZE (reference defaults.py:412);
+    # set to evaluate at a different window than training
+    c.INFERENCE.INPUT_SIZE = None
+    c.INFERENCE.OUTPUT_SIZE = None
     c.INFERENCE.INPUT_PATH = ""
     c.INFERENCE.OUTPUT_PATH = "outputs/test/"
     c.INFERENCE.IMAGE_NAME = ""
     c.INFERENCE.OUTPUT_NAME = "result.h5"
     c.INFERENCE.OUTPUT_ACT = ["sigmoid"]
-    c.INFERENCE.PAD_SIZE = [0, 0, 0]
+    c.INFERENCE.PAD_SIZE = None  # None = inherit DATASET.PAD_SIZE
     c.INFERENCE.AUG_MODE = None
     c.INFERENCE.AUG_NUM = None
     c.INFERENCE.STRIDE = [0, 80, 80]
     c.INFERENCE.SAMPLES_PER_BATCH = 4
+    # config-compat knob (reference gates label loading at inference with
+    # it); this rebuild's EM evaluation is offline (scripts/eval_em.py on
+    # saved volumes), so it is accepted but has no effect
     c.INFERENCE.DO_EVAL = True
     # New key (TPU rebuild): upsample only the TOP_K highest-peak query masks
     # to full resolution in the jitted eval step; <= 0 upsamples all queries.

@@ -137,5 +137,9 @@ def _coerce(value: Any, old: Any) -> Any:
     if isinstance(old, tuple) and isinstance(value, (list, str)):
         if isinstance(value, str):
             value = _parse_literal(value)
-        return tuple(value)
+        return tuple(value) if isinstance(value, (list, tuple)) else (value,)
+    if isinstance(old, tuple) and isinstance(value, (int, float)):
+        # a scalar override of a tuple-typed key (e.g. --opts SOLVER.STEPS
+        # 30000) would otherwise crash far away at first use
+        return (value,)
     return value

@@ -35,14 +35,20 @@ def evaluate_ap(pred_labels: np.ndarray, gt_labels: np.ndarray,
     if foreground_only:
         pred = np.where(gt == 0, 0, pred)
 
+    # a nonzero background id is SWAPPED with 0 first (np.unique sorts, so
+    # merely prefixing the background value does not pin it to index 0 —
+    # the smallest real instance would be excluded instead)
+    if background is not None and background != 0:
+        for arr in (pred, gt):
+            zeros = arr == 0
+            arr[arr == background] = 0
+            arr[zeros] = background
     # remap to consecutive ids (0 pinned): the contingency table is then
     # bounded by the number of DISTINCT instances, not max id (24-bit VAST
     # ids would otherwise demand a petabyte table; cf. the sparse form the
     # reference used, evaluate_ap.py:181)
-    _, pred = np.unique(np.concatenate([[background or 0], pred]),
-                        return_inverse=True)
-    _, gt = np.unique(np.concatenate([[background or 0], gt]),
-                      return_inverse=True)
+    _, pred = np.unique(np.concatenate([[0], pred]), return_inverse=True)
+    _, gt = np.unique(np.concatenate([[0], gt]), return_inverse=True)
     pred, gt = pred[1:], gt[1:]
     if background is not None:
         background = 0  # remapped position of the background id

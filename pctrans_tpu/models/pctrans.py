@@ -44,6 +44,16 @@ class ModelConfig:
     # TransformerEncoderPixelDecoder are the registered alternatives.
     backbone_name: str = "build_resnet_backbone"
     pixel_decoder_name: str = "MSDeformAttnPixelDecoder"
+    # MODEL.SEM_SEG_HEAD.NAME: only MaskFormerHead composes into this
+    # meta-arch (the per-pixel baselines are standalone heads with a
+    # semantic-only output contract; instantiate them directly)
+    sem_seg_head_name: str = "MaskFormerHead"
+    # MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME registry
+    # (maskformer_transformer_decoder.py:16-27): the PCTrans decoder, or the
+    # plain DETR StandardTransformerDecoder over the encoder-top features
+    # (criterion note: only the PCTrans decoder emits reference points /
+    # contrast items, so training the DETR variant needs a masks-only loss)
+    transformer_decoder_name: str = "MultiScaleMaskedTransformerDecoder"
     swin_embed_dim: int = 96
     swin_depths: Tuple[int, ...] = (2, 2, 6, 2)
     swin_num_heads: Tuple[int, ...] = (3, 6, 12, 24)
@@ -105,6 +115,9 @@ def build_model_config(cfg) -> ModelConfig:
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         backbone_name=cfg.MODEL.BACKBONE.NAME,
         pixel_decoder_name=sh.PIXEL_DECODER_NAME,
+        sem_seg_head_name=sh.get("NAME", "MaskFormerHead"),
+        transformer_decoder_name=mf.get(
+            "TRANSFORMER_DECODER_NAME", "MultiScaleMaskedTransformerDecoder"),
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype="bfloat16" if cfg.MODEL.MIXED_PRECESION else "float32",
@@ -168,8 +181,14 @@ class PCTransModel(nn.Module):
                 name="backbone",
             )(images.astype(dtype))
 
+        if c.sem_seg_head_name != "MaskFormerHead":
+            raise ValueError(
+                f"MODEL.SEM_SEG_HEAD.NAME={c.sem_seg_head_name!r}: only "
+                "MaskFormerHead composes into PCTransModel; the per-pixel "
+                "baselines (models/per_pixel.py) are standalone semantic "
+                "heads — instantiate them directly.")
         if c.pixel_decoder_name == "MSDeformAttnPixelDecoder":
-            mask_features, _, multi_scale = MSDeformAttnPixelDecoder(
+            mask_features, enc_top, multi_scale = MSDeformAttnPixelDecoder(
                 conv_dim=c.conv_dim,
                 mask_dim=c.mask_dim,
                 norm=c.head_norm,
@@ -200,12 +219,38 @@ class PCTransModel(nn.Module):
             else:
                 raise ValueError(
                     f"Unknown pixel decoder: {c.pixel_decoder_name}")
-            mask_features, _, multi_scale = decoder(feats)
+            mask_features, enc_top, multi_scale = decoder(feats)
             # FPN decoders emit multi-scale maps at conv_dim but the PCTrans
             # transformer decoder's mask head needs mask_dim features; both
             # contracts match the reference (MaskFormerHead feeds
             # (multi_scale, mask_features) either way).
 
+        if c.transformer_decoder_name == "StandardTransformerDecoder":
+            # plain DETR predictor over the encoder-top features (reference
+            # maskformer_transformer_decoder.py:31; registry row in
+            # TRANSFORMER_DECODER_REGISTRY) — masks only, no PCTrans
+            # reference points / contrast items
+            from .detr_decoder import StandardTransformerDecoder
+
+            out = StandardTransformerDecoder(
+                hidden_dim=c.hidden_dim,
+                num_queries=c.num_queries,
+                nheads=c.nheads,
+                dim_feedforward=c.dim_feedforward,
+                dec_layers=c.dec_layers + 1,
+                # the mask-embed width must match the pixel decoder's actual
+                # mask_features channels (MSDeformAttnPixelDecoder emits
+                # conv_dim; the FPN decoders project to mask_dim)
+                mask_dim=mask_features.shape[-1],
+                train=self.train,
+                dtype=dtype,
+                name="predictor",
+            )(enc_top, mask_features)
+            out["mask_features"] = mask_features.astype(jnp.float32)
+            return out
+        if c.transformer_decoder_name != "MultiScaleMaskedTransformerDecoder":
+            raise ValueError(
+                f"Unknown transformer decoder: {c.transformer_decoder_name}")
         out = MultiScaleMaskedTransformerDecoder(
             hidden_dim=c.hidden_dim,
             num_queries=c.num_queries,

@@ -48,6 +48,11 @@ def main():
         print(f"voi_split={vs:.6f}, voi_merge={vm:.6f}, "
               f"voi_sum={vsum:.6f}, arand={arand:.6f}")
     elif args.mode == "synapse":
+        # the 128/255 threshold assumes a uint8 prediction; rescale float
+        # probability volumes like binary mode does (a [0, 1] float would
+        # otherwise binarize to all-background and score silent garbage)
+        if pred.max() <= 1.5:
+            pred = (pred.astype(np.float32) * 255.0)
         for k, v in eval_synapse(pred, gt).items():
             print(f"\t{k}: {v:.4f}")
     elif args.mode == "binary":

@@ -209,3 +209,33 @@ class TestFullModel:
         assert "batch_stats" in vars_
         out, updates = jax.jit(lambda v, x: model.apply(v, x, mutable=["batch_stats"]))(vars_, x)
         assert "batch_stats" in updates
+
+
+class TestComponentRegistry:
+    def test_standard_transformer_decoder_dispatch(self):
+        """MODEL.MASK_FORMER.TRANSFORMER_DECODER_NAME selects the DETR
+        predictor (reference TRANSFORMER_DECODER_REGISTRY,
+        maskformer_transformer_decoder.py:16-27) — previously the key was
+        accepted but silently ignored."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            TINY, transformer_decoder_name="StandardTransformerDecoder")
+        model = PCTransModel(config=cfg, train=False)
+        x = jnp.zeros((1, 32, 32, 3))
+        out = jax.jit(model.init)(jax.random.key(0), x)
+        res = jax.jit(model.apply)(out, x)
+        assert res["pred_masks"].shape[:2] == (1, TINY.num_queries)
+        assert "mask_features" in res
+
+    def test_unknown_head_or_decoder_raises(self):
+        import dataclasses
+
+        bad_head = dataclasses.replace(TINY, sem_seg_head_name="PerPixelBaselineHead")
+        with pytest.raises(ValueError, match="MaskFormerHead"):
+            PCTransModel(config=bad_head, train=False).init(
+                jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        bad_dec = dataclasses.replace(TINY, transformer_decoder_name="nope")
+        with pytest.raises(ValueError, match="transformer decoder"):
+            PCTransModel(config=bad_dec, train=False).init(
+                jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
