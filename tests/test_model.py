@@ -231,11 +231,12 @@ class TestComponentRegistry:
     def test_unknown_head_or_decoder_raises(self):
         import dataclasses
 
+        # eval_shape: the errors raise during trace, no compiles needed
         bad_head = dataclasses.replace(TINY, sem_seg_head_name="PerPixelBaselineHead")
         with pytest.raises(ValueError, match="MaskFormerHead"):
-            PCTransModel(config=bad_head, train=False).init(
-                jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+            jax.eval_shape(PCTransModel(config=bad_head, train=False).init,
+                           jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
         bad_dec = dataclasses.replace(TINY, transformer_decoder_name="nope")
         with pytest.raises(ValueError, match="transformer decoder"):
-            PCTransModel(config=bad_dec, train=False).init(
-                jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+            jax.eval_shape(PCTransModel(config=bad_dec, train=False).init,
+                           jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
