@@ -83,11 +83,13 @@ def random_resized_crop_params(
     return i, j, h, w
 
 
-def _resize(img: np.ndarray, size: int, nearest: bool) -> np.ndarray:
+def _resize(img: np.ndarray, size, nearest: bool) -> np.ndarray:
+    """size: int (square) or (h, w)."""
     import cv2
 
+    h, w = (size, size) if isinstance(size, int) else size
     interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
-    return cv2.resize(img, (size, size), interpolation=interp)
+    return cv2.resize(img, (w, h), interpolation=interp)  # cv2 dsize = (w, h)
 
 
 def normalize_image(img_u8: np.ndarray) -> np.ndarray:

@@ -121,4 +121,10 @@ class MoNuSegDataset(_InstanceFolderDataset):
         ip, lp = self.items[idx]
         rgb = np.asarray(Image.open(ip).convert("RGB"))
         label = np.load(lp).astype(np.int64)
+        if rgb.shape[:2] != label.shape[:2]:
+            # '_300_ins.npy' labels were exported at a rescaled resolution;
+            # bring the image to the label's frame so crops stay aligned
+            # (a crop computed in label space over a full-res image covers
+            # a different physical region)
+            rgb = _resize(rgb, label.shape[:2], nearest=False)
         return rgb, label

@@ -24,6 +24,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 import numpy as np
 
 from ..config import CfgNode, save_all_cfg
@@ -31,7 +32,7 @@ from ..data.build import PrefetchLoader, batch_size_for, build_volume_dataset
 from ..engine import checkpoint as ckpt
 from ..engine.solver import build_lr_schedule, build_optimizer
 from ..engine.state import TrainState
-from ..losses.legacy import LegacyCriterion, get_functional_act
+from ..losses.legacy import LegacyCriterion, SplitActivation, get_functional_act
 from ..models import build_architecture
 from ..parallel import create_mesh, replicate, shard_batch
 from ..utils.monitor import build_monitor
@@ -113,6 +114,9 @@ class LegacyTrainer:
         n_t, n_w = self._n_targets, self._n_weights
 
         def step(state: TrainState, batch: Dict, rng):
+            # per-step dropout key (same discipline as engine/state.py:70;
+            # reusing one key would repeat the identical mask every step)
+            rng = jax.random.fold_in(rng, state.step)
             img = _to_channels_last(batch["image"])
             targets = [batch[f"target_{i}"] for i in range(n_t)]
             weights = [[batch.get(f"weight_{i}_{j}") for j in range(n_w[i])]
@@ -139,9 +143,8 @@ class LegacyTrainer:
             # build_optimizer wraps every tx with extra-args support)
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params, value=loss)
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u, state.params, updates)
-            metrics = {"loss": loss, **{k: v for k, v in vis.items()}}
+            params = optax.apply_updates(state.params, updates)
+            metrics = {"loss": loss, **vis}
             new_state = state.replace(step=state.step + 1, params=params,
                                       opt_state=opt_state,
                                       batch_stats=new_stats)
@@ -150,9 +153,17 @@ class LegacyTrainer:
         return step
 
     def _make_forward(self):
-        model = self.model
-        acts = [get_functional_act(a) for a in
-                self.cfg.INFERENCE.get("OUTPUT_ACT", ["sigmoid"])]
+        # eval-mode model regardless of the trainer's mode: BatchNorm must
+        # use running averages (and not try to mutate the immutable
+        # batch_stats collection) when test()/run_chunk runs mid-training
+        model = (self.model if not self.model.train
+                 else build_architecture(self.cfg, train=False))
+        acts = list(self.cfg.INFERENCE.get("OUTPUT_ACT", ["sigmoid"]))
+        # per-TARGET_OPT channel-group activations via SplitActivation
+        # (reference misc.py:128-157 splits channels per target, not per
+        # channel — a 3-channel target takes ONE activation)
+        split_act = SplitActivation(self.cfg.MODEL.TARGET_OPT,
+                                    output_act=acts, channel_axis=1)
 
         def forward(state: TrainState, img_cl: jnp.ndarray) -> jnp.ndarray:
             variables = {"params": state.params}
@@ -162,12 +173,9 @@ class LegacyTrainer:
             if isinstance(out, dict):
                 out = out["out"]
             pred = _to_channels_first(out)
-            # per-channel activation, broadcast when one act is configured
             if len(acts) == 1:
-                return acts[0](pred)
-            parts = [acts[min(c, len(acts) - 1)](pred[:, c:c + 1])
-                     for c in range(pred.shape[1])]
-            return jnp.concatenate(parts, axis=1)
+                return get_functional_act(acts[0])(pred)
+            return jnp.concatenate(split_act(pred), axis=1)
 
         return forward
 
@@ -182,8 +190,11 @@ class LegacyTrainer:
                 k: v.astype(np.float32) for k, v in batch_np.items()
                 if k != "_num_valid"})
             self.state, metrics = self._train_step(self.state, batch, self.rng)
-            self.monitor.update(it, metrics, float(self.lr_schedule(it)),
-                                total_iters=self.total_iters)
+            if it % self.monitor.log_every == 0:
+                # lr float() only on log steps: it forces a device sync that
+                # would otherwise serialize async dispatch every iteration
+                self.monitor.update(it, metrics, float(self.lr_schedule(it)),
+                                    total_iters=self.total_iters)
             if (it + 1) % self.cfg.SOLVER.ITERATION_SAVE == 0:
                 ckpt.save_checkpoint(self.output_dir, self.state, it + 1)
         jax.block_until_ready(self.state.params)

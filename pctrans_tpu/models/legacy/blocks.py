@@ -35,7 +35,8 @@ def get_legacy_activation(name: str) -> Callable:
     return acts[name]
 
 
-def get_legacy_norm(name: str, features: int, train: bool = True):
+def get_legacy_norm(name: str, features: int, train: bool = True,
+                    spatial_rank: int = 3):
     """Norm factory (reference get_norm_2d/get_norm_3d): bn / sync_bn / in /
     gn / none.  BatchNorm statistics live in the ``batch_stats`` collection;
     under a sharded jit program batch stats are global, which subsumes
@@ -44,10 +45,24 @@ def get_legacy_norm(name: str, features: int, train: bool = True):
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5)
     if name == "in":
-        # InstanceNorm = GroupNorm with one channel per group
-        return nn.GroupNorm(num_groups=None, group_size=1)
+        # InstanceNorm = GroupNorm with one channel per group; the reference
+        # uses torch InstanceNorm with affine=False (misc.py:352,377), so no
+        # learnable scale/bias
+        return nn.GroupNorm(num_groups=None, group_size=1,
+                            use_scale=False, use_bias=False)
     if name == "gn":
-        return nn.GroupNorm(num_groups=min(16, features))
+        # reference group counts: 8 for 3D models, 16 for 2D
+        # (misc.py:353,378); both require divisibility.  Channel counts
+        # below the group count (tiny test configs) fall back to one
+        # channel per group.
+        groups = 8 if spatial_rank == 3 else 16
+        if features < groups:
+            groups = features
+        if features % groups:
+            raise ValueError(
+                f"GN requires channels divisible into {groups} groups "
+                f"(got {features}; reference misc.py:348)")
+        return nn.GroupNorm(num_groups=groups)
     if name == "none":
         return None
     raise ValueError(f"Unknown norm: {name}")
@@ -106,7 +121,8 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        norm = get_legacy_norm(self.norm_mode, self.features, self.train)
+        norm = get_legacy_norm(self.norm_mode, self.features, self.train,
+                               self.spatial_rank)
         if norm is not None:
             x = norm(x)
         return get_legacy_activation(self.act_mode)(x)
@@ -231,7 +247,8 @@ class BasicBlockPA(nn.Module):
         act = get_legacy_activation(self.act_mode)
 
         def norm_act_conv(h, strides, name):
-            norm = get_legacy_norm(self.norm_mode, h.shape[-1], self.train)
+            norm = get_legacy_norm(self.norm_mode, h.shape[-1], self.train,
+                                   self.spatial_rank)
             if norm is not None:
                 h = norm(h)
             h = act(h)
@@ -296,7 +313,8 @@ class NonLocalBlock(nn.Module):
         ).astype(x.dtype)
         y = jnp.einsum("bnm,bmc->bnc", attn, g).reshape(B, *spatial, inter)
         y = nn.Conv(C, (1,) * self.spatial_rank, dtype=self.dtype, name="w")(y)
-        norm = get_legacy_norm(self.norm_mode, C, self.train)
+        norm = get_legacy_norm(self.norm_mode, C, self.train,
+                               self.spatial_rank)
         if norm is not None:
             y = norm(y)
         return y + x

@@ -112,9 +112,11 @@ class DeepLabV3(nn.Module):
             y = nn.Conv(self.out_channel, (1, 1), dtype=self.dtype,
                         name="classifier")(y)
 
-        out = {"out": jnp.transpose(
-            linear_resize(y, in_hw, align_corners=True), (0, 3, 1, 2)
-        ).astype(jnp.float32)}
+        # NHWC out, like every other legacy model — the trainer applies the
+        # single channels-first transpose (an internal NCHW transpose here
+        # got transposed AGAIN by the trainer, yielding [B, W, C, H])
+        out = {"out": linear_resize(y, in_hw,
+                                    align_corners=True).astype(jnp.float32)}
 
         if self.aux_out:
             a = feats["aux"]
@@ -122,7 +124,6 @@ class DeepLabV3(nn.Module):
             a = ConvNormAct(inter, 3, name="aux_conv", **shared)(a)
             a = nn.Conv(self.out_channel, (1, 1), dtype=self.dtype,
                         name="aux_classifier")(a)
-            out["aux"] = jnp.transpose(
-                linear_resize(a, in_hw, align_corners=True), (0, 3, 1, 2)
-            ).astype(jnp.float32)
+            out["aux"] = linear_resize(a, in_hw,
+                                       align_corners=True).astype(jnp.float32)
         return out

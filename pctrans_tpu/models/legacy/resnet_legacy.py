@@ -79,7 +79,8 @@ class Bottleneck2D(nn.Module):
             h = nn.Conv(ch, (k, k), strides=(stride, stride),
                         kernel_dilation=(dil, dil), padding="VALID",
                         use_bias=False, dtype=self.dtype, name=name)(h)
-            norm = get_legacy_norm(self.norm_mode, ch, self.train)
+            norm = get_legacy_norm(self.norm_mode, ch, self.train,
+                                   spatial_rank=2)
             return norm(h) if norm is not None else h
 
         y = act(conv(x, self.planes, 1, 1, 1, "conv1"))
@@ -111,7 +112,8 @@ class ResNet2D(nn.Module):
         x = pad_spatial(x, (7, 7), (1, 1), "zeros")
         x = nn.Conv(self.in_planes, (7, 7), strides=(2, 2), padding="VALID",
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        norm = get_legacy_norm(self.norm_mode, self.in_planes, self.train)
+        norm = get_legacy_norm(self.norm_mode, self.in_planes, self.train,
+                               spatial_rank=2)
         if norm is not None:
             x = norm(x)
         x = act(x)

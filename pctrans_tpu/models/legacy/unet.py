@@ -106,7 +106,10 @@ class _UNetBase(nn.Module):
                 stride = 1
             x = ConvNormAct(self.filters[i], self._kernel(iso), strides=stride,
                             name=f"down{i}_conv", **shared)(x)
-            x = block_cls(self.filters[i], isotropic=iso,
+            # the reference never forwards isotropy to the residual blocks
+            # (unet.py:91: block(..., **shared_kwargs)); BasicBlock3d
+            # defaults to anisotropic (1, 3, 3) kernels at every stage
+            x = block_cls(self.filters[i], isotropic=False,
                           name=f"down{i}_block", **shared)(x)
             if i < depth - 1:
                 skips.append(x)
@@ -129,7 +132,7 @@ class _UNetBase(nn.Module):
             if self.plus:
                 f = ConvNormAct(self.filters[i], 1, name=f"feat{i}", **shared)(feat)
                 x = linear_resize(f, x.shape[1:-1], align_corners=align) + x
-            x = block_cls(self.filters[i], isotropic=self._iso(i),
+            x = block_cls(self.filters[i], isotropic=False,
                           name=f"up{i}_block", **shared)(x)
 
         return ConvNormAct(

@@ -137,8 +137,9 @@ class TestDeepLab:
                           backbone_layers=(1, 1, 1, 1), train=False)
         x = jnp.zeros((1, 33, 33, 3))
         out = _init_apply(model, x)
-        assert out["out"].shape == (1, 2, 33, 33)
-        assert out["aux"].shape == (1, 2, 33, 33)
+        # NHWC like every legacy model (the trainer owns the transpose)
+        assert out["out"].shape == (1, 33, 33, 2)
+        assert out["aux"].shape == (1, 33, 33, 2)
 
 
 class TestModelMap:
