@@ -54,53 +54,70 @@ def evaluate_ap(pred_labels: np.ndarray, gt_labels: np.ndarray,
         background = 0  # remapped position of the background id
     n_p = int(pred.max()) + 1
     n_g = int(gt.max()) + 1
-    table = np.bincount(pred * n_g + gt,
-                        minlength=n_p * n_g).reshape(n_p, n_g).astype(np.float64)
-    pred_counts = table.sum(1)
-    gt_counts = table.sum(0)
+    # SPARSE overlap pairs (unique label pairs + voxel counts): a dense
+    # [n_p, n_g] table is ~7 GB at a routine 30k x 30k connectomics eval
+    # while the pairs are O(distinct overlaps)
+    pair_keys, pair_cnt = np.unique(pred.astype(np.int64) * n_g + gt,
+                                    return_counts=True)
+    pr = (pair_keys // n_g).astype(np.int64)
+    gc_id = (pair_keys % n_g).astype(np.int64)
+    cnt = pair_cnt.astype(np.float64)
+    pred_counts = np.bincount(pr, weights=cnt, minlength=n_p)
+    gt_counts = np.bincount(gc_id, weights=cnt, minlength=n_g)
 
     pred_ids = np.where(pred_counts > 0)[0]
     gt_ids = np.where(gt_counts > 0)[0]
     if background is not None:
         pred_ids = pred_ids[pred_ids != background]
         gt_ids = gt_ids[gt_ids != background]
+        keep = (pr != background) & (gc_id != background)
+        pr, gc_id, cnt = pr[keep], gc_id[keep], cnt[keep]
     if len(pred_ids) == 0 or len(gt_ids) == 0:
         return 0.0, 0.0, 0.0, {}
 
-    sub = table[np.ix_(pred_ids, gt_ids)]          # overlap counts
-    pc = pred_counts[pred_ids][:, None]
-    gc = gt_counts[gt_ids][None, :]
-    union = pc + gc - sub
-    iou = np.where(sub > 0, sub / union, 0.0)
-    dice = np.where(sub > 0, 2.0 * sub / (pc + gc), 0.0)
+    pc = pred_counts[pr]
+    gc = gt_counts[gc_id]
+    iou_v = cnt / (pc + gc - cnt)                 # per-pair IoU (cnt > 0)
+    dice_v = 2.0 * cnt / (pc + gc)
     # SEG: IoU gated by >50% coverage of the GT (resp. pred) instance
-    seg_gt_gate = sub > 0.5 * gc
-    seg_p_gate = sub > 0.5 * pc
-    seg = np.where(seg_gt_gate, iou, 0.0)
-    seg_rev = np.where(seg_p_gate, iou, 0.0)
+    gt_gate = cnt > 0.5 * gc
+    p_gate = cnt > 0.5 * pc
+
+    def col_max(vals, mask=None):
+        out = np.zeros(n_g)
+        v = vals if mask is None else np.where(mask, vals, 0.0)
+        np.maximum.at(out, gc_id, v)
+        return out[gt_ids]
+
+    def row_max(vals, mask=None):
+        out = np.zeros(n_p)
+        v = vals if mask is None else np.where(mask, vals, 0.0)
+        np.maximum.at(out, pr, v)
+        return out[pred_ids]
 
     metrics: Dict = {"general": {}}
     gen = metrics["general"]
     gen["Num GT"] = int(len(gt_ids))
     gen["Num Pred"] = int(len(pred_ids))
-    gen["GT/Ref -> Pred mean dice"] = float(dice.max(0).mean())
-    gen["Pred -> GT/Ref mean dice"] = float(dice.max(1).mean())
-    iou_gt = iou.max(0)                            # per-GT best IoU
-    iou_p = iou.max(1)                             # per-pred best IoU
+    gen["GT/Ref -> Pred mean dice"] = float(col_max(dice_v).mean())
+    gen["Pred -> GT/Ref mean dice"] = float(row_max(dice_v).mean())
+    iou_gt = col_max(iou_v)                        # per-GT best IoU
+    iou_p = row_max(iou_v)                         # per-pred best IoU
     gen["GT/Ref -> Pred mean iou"] = float(iou_gt.mean())
     gen["Pred -> GT/Ref mean iou"] = float(iou_p.mean())
-    gen["GT/Ref -> Pred mean seg"] = float(seg.max(0).mean())
-    gen["Pred -> GT/Ref mean seg"] = float(seg.max(1).mean())
-    gen["Pred -> GT/Ref mean seg rev"] = float(seg_rev.max(1).mean())
+    gen["GT/Ref -> Pred mean seg"] = float(col_max(iou_v, gt_gate).mean())
+    gen["Pred -> GT/Ref mean seg"] = float(row_max(iou_v, gt_gate).mean())
+    gen["Pred -> GT/Ref mean seg rev"] = float(row_max(iou_v, p_gate).mean())
 
     # >50%-of-GT coverage matching matrix (:211-245)
-    matches = seg_gt_gate
-    gen["Pred -> GT/Ref NS"] = int(matches.sum()
-                                   - (matches.any(1)).sum())
-    gen["Pred -> GT/Ref FP"] = int((~matches.any(1)).sum())
-    gen["Pred -> GT/Ref TP"] = int((matches.sum(1) == 1).sum())
-    gen["GT/Ref -> Pred FN"] = int((~matches.any(0)).sum())
-    gen["GT/Ref -> Pred TP"] = int(matches.any(0).sum())
+    m_per_row = np.bincount(pr[gt_gate], minlength=n_p)[pred_ids]
+    m_per_col = np.bincount(gc_id[gt_gate], minlength=n_g)[gt_ids]
+    n_matches = int(gt_gate.sum())
+    gen["Pred -> GT/Ref NS"] = int(n_matches - (m_per_row > 0).sum())
+    gen["Pred -> GT/Ref FP"] = int((m_per_row == 0).sum())
+    gen["Pred -> GT/Ref TP"] = int((m_per_row == 1).sum())
+    gen["GT/Ref -> Pred FN"] = int((m_per_col == 0).sum())
+    gen["GT/Ref -> Pred TP"] = int((m_per_col > 0).sum())
 
     metrics["confusion_matrix"] = {}
     aps = []
