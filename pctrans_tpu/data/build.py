@@ -153,10 +153,16 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool, seed: int = 0,
                  num_workers: int = 4, prefetch: int = 2, drop_last: bool = True,
                  loop: bool = True, pad_last: bool = False,
-                 max_instances: int = 0):
+                 max_instances: int = 0,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        # multi-host data sharding (the reference's DistributedSampler,
+        # data/dataset/build.py:392-395): each process takes a disjoint
+        # stride of every epoch's permutation and a process-LOCAL batch
+        self.process_index = int(process_index)
+        self.process_count = max(int(process_count), 1)
         self.loop = loop
         self.drop_last = drop_last
         self.pad_last = pad_last
@@ -177,15 +183,27 @@ class PrefetchLoader:
         n = len(self.dataset)
         rng = np.random.RandomState((self.seed + 7919 * epoch) % (2**32))
         idx = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.process_count > 1:  # disjoint per-host shard of the epoch
+            idx = idx[self.process_index::self.process_count]
+        n = len(idx)
         bs = self.batch_size
         stop = n - bs + 1 if self.drop_last else n
+        if stop <= 0 and (self.drop_last or n == 0):
+            raise ValueError(
+                f"dataset yields no batches: {n} item(s) per process for "
+                f"batch_size {bs} (drop_last={self.drop_last}) — the "
+                f"producer would spin through empty epochs forever")
         for s in range(0, stop, bs):
             yield idx[s : s + bs]
 
     def _get_item(self, epoch: int, idx: int):
         if self._rng_aware:
+            # epoch*len+idx is unique per (epoch, item): a fixed epoch
+            # stride (e.g. 8191) collides across epochs on longer datasets,
+            # replaying identical augmentation streams
             item_rng = np.random.RandomState(
-                (self.seed * 1000003 + epoch * 8191 + idx) % (2**32))
+                (self.seed * 1000003 + epoch * len(self.dataset) + idx)
+                % (2**32))
             return self.dataset.__getitem__(idx, rng=item_rng)
         return self.dataset[idx]
 
@@ -214,9 +232,20 @@ class PrefetchLoader:
                         self.max_instances, self._truncation_warnings)
         return batch
 
+    def close(self) -> None:
+        """Release the worker threads (idempotent)."""
+        self.pool.shutdown(wait=False)
+
+    def __del__(self):  # pragma: no cover - best-effort cleanup
+        try:
+            self.pool.shutdown(wait=False)
+        except Exception:
+            pass
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        failure: list = [None]
 
         def produce():
             try:
@@ -235,6 +264,10 @@ class PrefetchLoader:
                     if not self.loop:
                         return
                     epoch += 1
+            except BaseException as e:  # forward to the consumer: a silent
+                # sentinel here would truncate an eval epoch (wrong metrics)
+                # or surface as a bare StopIteration far from the cause
+                failure[0] = e
             finally:
                 while True:  # always deliver the sentinel, even if full
                     try:
@@ -250,6 +283,9 @@ class PrefetchLoader:
             while True:
                 batch = out.get()
                 if batch is self._SENTINEL:
+                    if failure[0] is not None:
+                        raise RuntimeError(
+                            "PrefetchLoader producer failed") from failure[0]
                     break
                 yield batch
         finally:
@@ -265,9 +301,18 @@ class PrefetchLoader:
 def build_dataloader(cfg, mode: str, seed: int = 0, n_devices: int = 1) -> PrefetchLoader:
     ds = get_dataset(cfg, mode)
     train = mode == "train"
+    # multi-host: n_devices is the GLOBAL device count (the trainer passes
+    # mesh.devices.size); each process loads its 1/process_count share of
+    # the global batch over a disjoint index shard, and shard_batch's
+    # make_array_from_process_local_data assembles the global array
+    import jax
+
+    pc = jax.process_count()
+    global_bs = batch_size_for(cfg, mode, n_devices)
+    local_bs = max(1, global_bs // pc) if pc > 1 else global_bs
     return PrefetchLoader(
         ds,
-        batch_size=batch_size_for(cfg, mode, n_devices),
+        batch_size=local_bs,
         shuffle=train,
         seed=seed,
         num_workers=max(2, cfg.SYSTEM.NUM_CPUS // 2),
@@ -275,4 +320,6 @@ def build_dataloader(cfg, mode: str, seed: int = 0, n_devices: int = 1) -> Prefe
         drop_last=train,
         pad_last=not train,
         max_instances=int(getattr(cfg.MODEL, "MAX_INSTANCES", 0) or 0),
+        process_index=jax.process_index(),
+        process_count=pc,
     )

@@ -97,6 +97,19 @@ def build_lr_schedule(cfg) -> Callable:
     else:
         raise ValueError(f"Unsupported LR scheduler: {name}")
 
+    swa = s.get("SWA", None)
+    if swa is not None and swa.ENABLED:
+        # reference SWALR (solver/build.py:325-327): from SWA.START_ITER the
+        # averaging phase runs at the constant LR_FACTOR * BASE_LR instead
+        # of the decaying schedule (trainer.py:695-699 switches schedulers)
+        base_sched = sched
+        swa_lr = base * swa.LR_FACTOR
+        swa_start = int(swa.START_ITER)
+
+        def sched(step):
+            return jnp.where(jnp.asarray(step) >= swa_start, swa_lr,
+                             base_sched(step))
+
     return sched
 
 

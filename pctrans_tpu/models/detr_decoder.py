@@ -45,18 +45,18 @@ class TransformerDecoderLayerPostNorm(nn.Module):
             out_features=self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
             name="self_attn",
         )(q, k, tgt)
-        tgt = nn.LayerNorm(name="norm1")(tgt + attn)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + attn)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nheads, qkv_features=self.d_model,
             out_features=self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
             name="multihead_attn",
         )(tgt + query_pos, memory + pos, memory)
-        tgt = nn.LayerNorm(name="norm2")(tgt + attn)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + attn)
         y = nn.Dense(self.d_ffn, kernel_init=_XAVIER, dtype=self.dtype,
                      name="linear1")(tgt)
         y = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
                      name="linear2")(nn.relu(y))
-        return nn.LayerNorm(name="norm3")(tgt + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + y)
 
 
 class StandardTransformerDecoder(nn.Module):
@@ -109,7 +109,7 @@ class StandardTransformerDecoder(nn.Module):
             query_embed[None], (B, self.num_queries, self.hidden_dim))
         tgt = jnp.zeros_like(query_pos)  # transformer.py: tgt = zeros_like(query_embed)
 
-        decoder_norm = nn.LayerNorm(name="decoder_norm")  # shared across layers
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")  # shared across layers
         intermediate = []
         for li in range(self.dec_layers):
             tgt = TransformerDecoderLayerPostNorm(

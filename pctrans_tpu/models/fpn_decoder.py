@@ -55,12 +55,12 @@ class TransformerEncoderLayerPostNorm(nn.Module):
             dtype=self.dtype,
             name="self_attn",
         )(q, k, src)
-        src = nn.LayerNorm(name="norm1")(src + attn)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + attn)
         y = nn.Dense(self.d_ffn, kernel_init=_XAVIER, dtype=self.dtype,
                      name="linear1")(src)
         y = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
                      name="linear2")(nn.relu(y))
-        return nn.LayerNorm(name="norm2")(src + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + y)
 
 
 class BasePixelDecoder(nn.Module):

@@ -59,11 +59,11 @@ def get_norm(name: str, features: int, train: bool = True, axis_name: Optional[s
             axis_name=axis_name if (train and name == "SyncBN") else None,
         )
     if name == "GN":
-        return nn.GroupNorm(num_groups=32)
+        return nn.GroupNorm(epsilon=1e-5, num_groups=32)
     if name == "FrozenBN":
         return FrozenBatchNorm(features)
     if name == "LN":
-        return nn.LayerNorm()
+        return nn.LayerNorm(epsilon=1e-5)
     raise ValueError(f"Unknown norm: {name}")
 
 

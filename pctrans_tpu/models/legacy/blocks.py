@@ -48,7 +48,7 @@ def get_legacy_norm(name: str, features: int, train: bool = True,
         # InstanceNorm = GroupNorm with one channel per group; the reference
         # uses torch InstanceNorm with affine=False (misc.py:352,377), so no
         # learnable scale/bias
-        return nn.GroupNorm(num_groups=None, group_size=1,
+        return nn.GroupNorm(epsilon=1e-5, num_groups=None, group_size=1,
                             use_scale=False, use_bias=False)
     if name == "gn":
         # reference group counts: 8 for 3D models, 16 for 2D
@@ -62,7 +62,7 @@ def get_legacy_norm(name: str, features: int, train: bool = True,
             raise ValueError(
                 f"GN requires channels divisible into {groups} groups "
                 f"(got {features}; reference misc.py:348)")
-        return nn.GroupNorm(num_groups=groups)
+        return nn.GroupNorm(epsilon=1e-5, num_groups=groups)
     if name == "none":
         return None
     raise ValueError(f"Unknown norm: {name}")

@@ -124,11 +124,11 @@ class MSDeformAttnEncoderLayer(nn.Module):
         # dtype pinned: flax norms default to promoting bf16 activations to
         # f32, which would double the residual stream's HBM traffic across
         # all 6 layers (stats are still computed in f32 internally)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + attn)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + attn)
         y = nn.Dense(self.d_ffn, kernel_init=_XAVIER, dtype=self.dtype, name="linear1")(src)
         y = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=self.dtype,
                      name="linear2")(nn.relu(y))
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + y)
 
 
 def encoder_reference_points(spatial_shapes, dtype=jnp.float32) -> jnp.ndarray:
@@ -186,7 +186,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             B, H, W, _ = x.shape
             y = nn.Conv(self.conv_dim, (1, 1), kernel_init=_XAVIER, dtype=dtype,
                         name=f"input_proj{idx}")(x)
-            y = nn.GroupNorm(num_groups=32, dtype=dtype,
+            y = nn.GroupNorm(epsilon=1e-5, num_groups=32, dtype=dtype,
                              name=f"input_gn{idx}")(y)
             srcs.append(y.reshape(B, H * W, self.conv_dim))
             pe = position_embedding_sine(H, W, self.conv_dim // 2).astype(dtype)

@@ -133,7 +133,7 @@ class SwinBlock(nn.Module):
             shift, ws = 0, min(ws, min(H, W))
 
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x).reshape(B, H, W, C)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, H, W, C)
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
         if pad_b or pad_r:
@@ -164,7 +164,7 @@ class SwinBlock(nn.Module):
                 h, deterministic=not self.train)
 
         x = shortcut + drop_path(x)
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), kernel_init=_TRUNC02,
                      dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.Dense(C, kernel_init=_TRUNC02, dtype=self.dtype,
@@ -190,7 +190,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2],
              x[:, 1::2, 1::2]], axis=-1)
         x = x.reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, kernel_init=_TRUNC02,
                         dtype=self.dtype, name="reduction")(x)
 
@@ -228,7 +228,7 @@ class SwinTransformer(nn.Module):
         B, Wh, Ww, C = x.shape
         x = x.reshape(B, Wh * Ww, C)
         if self.patch_norm:
-            x = nn.LayerNorm(name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         if self.ape:
             pe = self.param("absolute_pos_embed", _TRUNC02,
                             (1, (self.pretrain_img_size // ps) ** 2, C))
@@ -255,7 +255,7 @@ class SwinTransformer(nn.Module):
                 blk_id += 1
             name = f"res{li + 2}"
             if name in self.out_features:
-                y = nn.LayerNorm(name=f"out_norm{li}")(x)
+                y = nn.LayerNorm(epsilon=1e-5, name=f"out_norm{li}")(x)
                 outs[name] = y.reshape(B, hw[0], hw[1], dim)
             if li < num_layers - 1:
                 x = PatchMerging(dim, dtype=self.dtype,

@@ -94,7 +94,7 @@ class SelfAttentionLayer(nn.Module):
         v = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="sa_v_proj")(tgt)
         out = _attention(q, k, v, self.nheads)
         out = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="out_proj")(out)
-        return nn.LayerNorm(name="norm1")(tgt.astype(dt) + out)
+        return nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt.astype(dt) + out)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -141,7 +141,7 @@ class CrossAttentionLayer(nn.Module):
 
         out = _attention(q, k, v, h, bias=attn_bias)
         out = nn.Dense(d, kernel_init=_XAVIER, dtype=dt, name="out_proj")(out)
-        return nn.LayerNorm(name="norm2")(tgt.astype(dt) + out)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt.astype(dt) + out)
 
 
 class FFNLayer(nn.Module):
@@ -154,7 +154,7 @@ class FFNLayer(nn.Module):
         dt = self.dtype
         y = nn.Dense(self.dim_feedforward, kernel_init=_XAVIER, dtype=dt, name="linear1")(tgt)
         y = nn.Dense(self.d_model, kernel_init=_XAVIER, dtype=dt, name="linear2")(nn.relu(y))
-        return nn.LayerNorm(name="norm")(tgt.astype(dt) + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(tgt.astype(dt) + y)
 
 
 def compute_locations(h: int, w: int, stride: int, dtype=jnp.float32) -> jnp.ndarray:
@@ -219,7 +219,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
             ffn_cls(d, self.dim_feedforward, dtype=self.dtype, name=f"ffn{i}")
             for i in range(self.dec_layers)
         ]
-        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
 
         zeros = nn.initializers.zeros
         self.ref_point_head = MLP(d, self.points_num * 2, 2, bias_init=zeros, name="ref_point_head")

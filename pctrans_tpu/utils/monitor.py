@@ -61,9 +61,9 @@ class Monitor:
             jax.profiler.stop_trace()
             self._profiling = False
 
-    def load_info(self, cfg, extra: Optional[str] = None):
-        with open(os.path.join(self.output_dir, "config.yaml"), "w") as f:
-            f.write(cfg.dump())
+    def load_info(self, cfg):
+        # the config FILE is written once by save_all_cfg (trainer.py calls
+        # both); here only the TensorBoard text record
         if self.tb is not None:
             self.tb.add_text("config", f"```\n{cfg.dump()}\n```")
 
@@ -81,8 +81,12 @@ class Monitor:
             for k, v in scalars.items():
                 self.tb.add_scalar(k, float(v), iteration)
         # marginal rate since the previous log line: the cumulative average
-        # is dominated by the initial jit compile for thousands of steps
-        d_iter = iteration - getattr(self, "_last_iter", 0)
+        # is dominated by the initial jit compile for thousands of steps.
+        # The first log line anchors to THIS iteration (a resumed run's
+        # start_iter would otherwise count thousands of never-run steps and
+        # print an absurd avg/ETA).
+        last_iter = getattr(self, "_last_iter", None)
+        d_iter = iteration - last_iter if last_iter is not None else 1
         avg = (now - self._last) / max(d_iter, 1)
         self._last_iter = iteration
         eta_h = avg * max((total_iters or 0) - iteration, 0) / 3600.0

@@ -220,3 +220,66 @@ class TestVolumeIO:
         meta = create_json(depth=12)
         assert len(meta["image"]) == 12
         assert "{row}_{column}" in meta["image"][0]
+
+
+class TestPrefetchLoaderHardening:
+    def _ds(self, n=8):
+        from pctrans_tpu.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(size=(16, 16), length=n, n_instances=(1, 2))
+
+    def test_producer_error_propagates(self):
+        """A dataset exception must re-raise in the consumer — a silent
+        sentinel would truncate eval epochs into wrong metrics."""
+        from pctrans_tpu.data.build import PrefetchLoader
+
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise RuntimeError("corrupt item")
+                return {"image": np.zeros((4, 4, 3), np.float32)}
+
+        loader = PrefetchLoader(Bad(), batch_size=1, shuffle=False,
+                                loop=False, drop_last=False)
+        with pytest.raises(RuntimeError, match="producer failed"):
+            for _ in loader:
+                pass
+        loader.close()
+
+    def test_empty_epoch_raises_instead_of_hanging(self):
+        from pctrans_tpu.data.build import PrefetchLoader
+
+        loader = PrefetchLoader(self._ds(2), batch_size=8, shuffle=True,
+                                loop=True, drop_last=True)
+        with pytest.raises(RuntimeError, match="producer failed"):
+            next(iter(loader))
+        loader.close()
+
+    def test_process_shards_are_disjoint_and_cover(self):
+        """Two processes must see disjoint halves of every epoch (the
+        reference DistributedSampler contract) — previously each host
+        loaded the identical full global batch."""
+        from pctrans_tpu.data.build import PrefetchLoader
+
+        class Ident:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                return {"idx": np.int64(i)}
+
+        seen = []
+        for rank in range(2):
+            loader = PrefetchLoader(Ident(), batch_size=2, shuffle=True,
+                                    seed=3, loop=False, drop_last=True,
+                                    process_index=rank, process_count=2)
+            ids = []
+            for batch in loader:
+                ids.extend(batch["idx"].tolist())
+            seen.append(set(ids))
+            loader.close()
+        assert seen[0].isdisjoint(seen[1])
+        assert seen[0] | seen[1] == set(range(8))
