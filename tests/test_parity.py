@@ -372,3 +372,117 @@ class TestDeformableEncoderLayerParity:
         ref_out = layernorm(p["norm2"], x + y).numpy()
 
         np.testing.assert_allclose(out, ref_out, rtol=2e-4, atol=2e-4)
+
+
+class TestPixelDecoderParity:
+    def test_full_forward_matches_torch_transcription(self):
+        """The ENTIRE MSDeformAttnPixelDecoder forward replayed in torch
+        with shared weights (msdeformattn.py:314-360): input 1x1
+        projections + GroupNorm, sine positional embeddings with
+        level_embed on the POSITIONAL stream, the deformable encoder
+        layer, the per-level split, and the res2 FPN fusion (lateral 1x1
+        conv + GN, bilinear-upsample add, 3x3 output conv + GN + relu).
+        Wiring-level coverage — the class of bug (level-embed placement)
+        component tests miss."""
+        from test_ops import msda_torch_oracle
+
+        from pctrans_tpu.models.layers import position_embedding_sine
+        from pctrans_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+
+        conv_dim = 32
+        dec = MSDeformAttnPixelDecoder(conv_dim=conv_dim, mask_dim=8,
+                                       norm="GN", transformer_layers=1,
+                                       n_heads=2, n_points=2, train=False)
+        rs = np.random.RandomState(3)
+        feats = {n: rs.randn(1, s, s, c).astype(np.float32)
+                 for n, s, c in (("res2", 16, 32), ("res3", 8, 64),
+                                 ("res4", 4, 128), ("res5", 2, 256))}
+        jfeats = {k: jnp.asarray(v) for k, v in feats.items()}
+        vars_ = jax.jit(dec.init)(jax.random.key(11), jfeats)
+        mask_features, enc_top, ms = jax.jit(dec.apply)(vars_, jfeats)
+        p = vars_["params"]
+
+        def conv1x1(pp, x):   # NHWC, flax kernel [1,1,Cin,Cout]
+            w = torch.from_numpy(np.asarray(pp["kernel"]))[0, 0].float()
+            y = torch.einsum("bhwc,co->bhwo", x, w)
+            if "bias" in pp:
+                y = y + torch.from_numpy(np.asarray(pp["bias"])).float()
+            return y
+
+        def conv3x3(pp, x):   # SAME padding
+            w = torch.from_numpy(np.asarray(pp["kernel"])).permute(3, 2, 0, 1).float()
+            xt = x.permute(0, 3, 1, 2)
+            y = F.conv2d(xt, w, padding=1)
+            return y.permute(0, 2, 3, 1)
+
+        def gn(pp, x):        # over the channel axis, torch eps
+            xt = x.permute(0, 3, 1, 2)
+            w = torch.from_numpy(np.asarray(pp["scale"])).float()
+            b = torch.from_numpy(np.asarray(pp["bias"])).float()
+            return F.group_norm(xt, 32, w, b, eps=1e-5).permute(0, 2, 3, 1)
+
+        # ---- torch transcription ----
+        tif = ["res5", "res4", "res3"]   # top-down order
+        srcs, poss, shapes = [], [], []
+        for idx, name in enumerate(tif):
+            x = torch.from_numpy(feats[name])
+            y = conv1x1(p[f"input_proj{idx}_conv"]
+                        if f"input_proj{idx}_conv" in p else
+                        p[f"input_proj{idx}"], x)
+            y = gn(p[f"input_gn{idx}"], y)
+            B, H, W, _ = y.shape
+            srcs.append(y.reshape(B, H * W, conv_dim))
+            pe = np.asarray(position_embedding_sine(H, W, conv_dim // 2))
+            poss.append(torch.from_numpy(pe.reshape(1, H * W, conv_dim))
+                        .expand(B, -1, -1).float())
+            shapes.append((H, W))
+        src = torch.cat(srcs, 1)
+        lvl = torch.from_numpy(np.asarray(p["level_embed"])).float()
+        pos = torch.cat([pp + lvl[i] for i, pp in enumerate(poss)], 1)
+
+        # encoder layer (shared transcription with the layer-level test)
+        from pctrans_tpu.models.pixel_decoder import encoder_reference_points
+
+        refs = np.asarray(encoder_reference_points(tuple(shapes)))
+        refs = np.broadcast_to(refs[None], (1,) + refs.shape)
+        pl = p["encoder_layer0"]
+        pa = pl["self_attn"]
+        S = src.shape[1]
+        heads, points = 2, 2
+        query = src + pos
+        value = lin(pa["value_proj"])(src).view(1, S, heads, conv_dim // heads)
+        offsets = lin(pa["sampling_offsets"])(query).view(1, S, heads, 3, points, 2)
+        attnw = torch.softmax(
+            lin(pa["attention_weights"])(query).view(1, S, heads, 3 * points),
+            -1).view(1, S, heads, 3, points)
+        normalizer = torch.tensor([[w, h] for (h, w) in shapes]).float()
+        locs = (torch.from_numpy(refs.copy())[:, :, None, :, None, :]
+                + offsets / normalizer[None, None, None, :, None, :])
+        blended = msda_torch_oracle(value.detach().numpy(), shapes,
+                                    locs.detach().numpy(),
+                                    attnw.detach().numpy())
+        attn_out = lin(pa["output_proj"])(torch.from_numpy(blended))
+        x = layernorm(pl["norm1"], src + attn_out)
+        y = lin(pl["linear2"])(torch.relu(lin(pl["linear1"])(x)))
+        enc = layernorm(pl["norm2"], x + y)
+
+        # split back + FPN fusion for res2
+        outs, start = [], 0
+        for (H, W) in shapes:
+            outs.append(enc[:, start:start + H * W].reshape(1, H, W, conv_dim))
+            start += H * W
+        r2 = torch.from_numpy(feats["res2"])
+        lateral = gn(p["adapter0"]["GroupNorm_0"], conv1x1(p["adapter0"]["Conv_0"], r2))
+        up = F.interpolate(outs[-1].permute(0, 3, 1, 2), size=r2.shape[1:3],
+                           mode="bilinear", align_corners=False)
+        fused = lateral + up.permute(0, 2, 3, 1)
+        fused = gn(p["layer0"]["GroupNorm_0"], conv3x3(p["layer0"]["Conv_0"], fused))
+        fused = torch.relu(fused)
+
+        np.testing.assert_allclose(np.asarray(enc_top), outs[0].numpy(),
+                                   rtol=2e-4, atol=2e-4)
+        for a, b in zip(ms, outs):
+            np.testing.assert_allclose(np.asarray(a), b.numpy(),
+                                       rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(mask_features), fused.numpy(),
+                                   rtol=2e-4, atol=2e-4)
