@@ -139,6 +139,10 @@ def get_cfg_defaults() -> CfgNode:
     mf.TPU_RECIPE.EXACT_TARGETS = False
     mf.TPU_RECIPE.SAMPLE_DTYPE = "bfloat16"
     mf.TPU_RECIPE.UPSAMPLE2X = False
+    # Rematerialize encoder/decoder layers + the dynamic-mask render in the
+    # backward pass (HBM for FLOPs).  True fits any shape in 16G v5e HBM;
+    # False saves the recompute when the batch fits (see ModelConfig.remat).
+    mf.TPU_RECIPE.REMAT = True
     mf.TEST = CfgNode()
     mf.TEST.SEMANTIC_ON = False
     mf.TEST.INSTANCE_ON = True

@@ -309,7 +309,14 @@ def build_dataloader(cfg, mode: str, seed: int = 0, n_devices: int = 1) -> Prefe
 
     pc = jax.process_count()
     global_bs = batch_size_for(cfg, mode, n_devices)
-    local_bs = max(1, global_bs // pc) if pc > 1 else global_bs
+    if pc > 1 and global_bs % pc != 0:
+        # silently rounding would shrink the effective global batch (or
+        # grow it via a max(1, ...) floor) and make shard_batch's
+        # make_array_from_process_local_data mis-shard against the mesh
+        raise ValueError(
+            f"global batch size {global_bs} ({mode}) is not divisible by "
+            f"process_count={pc}; adjust SOLVER/INFERENCE.SAMPLES_PER_BATCH")
+    local_bs = global_bs // pc if pc > 1 else global_bs
     return PrefetchLoader(
         ds,
         batch_size=local_bs,

@@ -176,13 +176,19 @@ class VolumeDataset:
 
     # ---------------------------------------------------------------- items
     def _normalize(self, img: np.ndarray) -> np.ndarray:
-        # integer-typed volumes are uint8-range: decide by DTYPE, not by the
-        # crop's max — a dark crop (black borders, reflect padding) of a
-        # uint8 volume must scale identically to a bright one
-        is_int = np.issubdtype(img.dtype, np.integer)
+        # integer-typed volumes scale by their DTYPE's full range, not by
+        # the crop's max — a dark crop (black borders, reflect padding)
+        # must scale identically to a bright one.  Dividing by the dtype
+        # max (255 for uint8, 65535 for uint16 microscopy, ...) lands every
+        # integer input in [0, 1], matching the reference's
+        # normalize_range-to-uint8-then-/255 flow (data_misc.py) without
+        # its crop-dependent min-max.
+        scale = None
+        if np.issubdtype(img.dtype, np.integer):
+            scale = float(np.iinfo(img.dtype).max)
         img = img.astype(np.float32)
-        if is_int:
-            img = img / 255.0
+        if scale:
+            img = img / scale
         return (img - self.data_mean) / self.data_std
 
     def _finalize_shape(self, arr: np.ndarray) -> np.ndarray:

@@ -185,9 +185,14 @@ class Trainer:
             # (bit-parity oracles) transfer full-precision images.
             img_dtype = (np.float16 if self.model_config.dtype == "bfloat16"
                          else np.float32)
+            # int16 wraps negative above 32767 — corrupt targets, silently
+            # (the PrefetchLoader truncation warning inspects the pre-cast
+            # batch, so it would not catch this); widen rather than wrap
+            label_dtype = (np.int16 if batch_np["label"].max() < 2 ** 15
+                           else np.int32)
             batch = shard_batch(self.mesh, {
                 "image": batch_np["image"].astype(img_dtype),
-                "label": batch_np["label"].astype(np.int16),
+                "label": batch_np["label"].astype(label_dtype),
             })
             self.state, metrics = self._train_step(self.state, batch, self.rng)
 

@@ -90,14 +90,24 @@ def seg_iou3d_sorted(
     todo_id = sc_id[np.argsort(-relabel[sc_id], kind="stable")]
     scores_sorted = relabel[todo_id].reshape(-1, 1)
 
-    # dense contingency table over remapped consecutive ids
+    # Sparse contingency: unique (pred, gt) overlap pairs with counts —
+    # memory is O(distinct overlapping pairs), never the dense [P, G]
+    # table (~7 GB float at a routine 30k x 30k connectomics eval; same
+    # rationale as metrics_em._contingency_pairs / the reference's
+    # bbox-crop streaming, vol3d_util.py:178-210).
     pi = np.zeros(int(pred.max()) + 1 if pred.size else 1, np.int64)
     pi[pred_id] = np.arange(1, len(pred_id) + 1)
     gi = np.zeros(int(gt.max()) + 1 if gt.size else 1, np.int64)
     gi[gt_id] = np.arange(1, len(gt_id) + 1)
-    np_, ng = len(pred_id) + 1, len(gt_id) + 1
-    table = np.bincount(pi[pred] * ng + gi[gt], minlength=np_ * ng)
-    inter = table.reshape(np_, ng)[1:, 1:].astype(float)  # [P, G]
+    ng = len(gt_id) + 1
+    pr, gr = pi[pred], gi[gt]
+    fgpair = (pr > 0) & (gr > 0)
+    keys, cnt = np.unique(pr[fgpair] * ng + gr[fgpair], return_counts=True)
+    pp = (keys // ng - 1).astype(np.int64)   # 0-based pred index per pair
+    gg = (keys % ng - 1).astype(np.int64)    # 0-based gt index per pair
+    iou_pair = (cnt.astype(float)
+                / (pred_sz[pp] + gt_sz[gg] - cnt)) if len(keys) else \
+        np.zeros(0)
 
     # id -> size, 0 for scored ids absent from pred (the reference's
     # ``predict_sz_rl`` zeros array, vol3d_util.py:174-176)
@@ -106,42 +116,56 @@ def seg_iou3d_sorted(
                      np.int64)
     sz_rl[pred_id] = pred_sz
     sz_p = dict(zip(pred_id.tolist(), pred_sz.tolist()))
-    iou = np.zeros_like(inter)
-    if inter.size:
-        iou = inter / (pred_sz[:, None] + gt_sz[None, :] - inter)
-        iou[inter == 0] = 0.0
 
     A = areaRng.shape[0]
     result_p = np.zeros((len(todo_id), 2 + 3 * A))
     result_p[:, 0] = todo_id
     result_p[:, 1] = sz_rl[todo_id]
 
-    band = [(gt_sz > lo) & (gt_sz <= hi) for lo, hi in areaRng]  # [A][G]
-    for j, i in enumerate(todo_id):
-        if pi[i] == 0:   # scored id with zero voxels in pred: no matches
+    # position of each pred index in the score-sorted todo order (-1 = the
+    # pred exists but was not scored -> it claims nothing, as in the
+    # reference where only rows of scored ids are evaluated)
+    pos_of_pred = np.full(len(pred_id), -1, np.int64)
+    in_pred = pi[todo_id] > 0            # scored ids present in pred
+    pos_of_pred[pi[todo_id[in_pred]] - 1] = np.flatnonzero(in_pred)
+    tpos = pos_of_pred[pp] if len(pp) else np.zeros(0, np.int64)
+    scored_pair = tpos >= 0
+
+    # per-pred best in-band GT: sort pairs by (pred, iou asc, gt desc) and
+    # take the last pair per pred — max IoU, ties to the smallest gt index
+    # (reference argmax over np.where(gid, row, 0.0) returns the first max)
+    band_pair = [(gt_sz[gg] > lo) & (gt_sz[gg] <= hi) for lo, hi in areaRng] \
+        if len(gg) else [np.zeros(0, bool)] * A
+    for r in range(A):
+        sel = band_pair[r] & scored_pair
+        if not sel.any():
             continue
-        row = iou[pi[i] - 1]
-        hit = inter[pi[i] - 1] > 0
-        if not hit.any():
-            continue
-        for r in range(A):
-            gid = band[r] & hit
-            if gid.any():
-                k = int(np.argmax(np.where(gid, row, 0.0)))
-                result_p[j, 2 + 3 * r : 5 + 3 * r] = [gt_id[k], gt_sz[k], row[k]]
+        order = np.lexsort((-gg[sel], iou_pair[sel], pp[sel]))
+        ps = pp[sel][order]
+        gs = gg[sel][order]
+        ious = iou_pair[sel][order]
+        last = np.flatnonzero(np.r_[ps[1:] != ps[:-1], True])
+        j = pos_of_pred[ps[last]]
+        result_p[j, 2 + 3 * r] = gt_id[gs[last]]
+        result_p[j, 3 + 3 * r] = gt_sz[gs[last]]
+        result_p[j, 4 + 3 * r] = ious[last]
 
     # per-GT best prediction (ties to the higher-scored = earlier pred,
-    # matching the reference's strict-greater sequential update :222-224)
-    if len(todo_id) and len(gt_id):
-        rows = pi[todo_id]  # 0 = scored id absent from pred
-        iou_sorted = np.where((rows[:, None] > 0) & (inter[rows - 1] > 0),
-                              iou[rows - 1], 0.0)  # [D, G]
-        best_j = np.argmax(iou_sorted, axis=0)
-        gt_best_iou = iou_sorted[best_j, np.arange(len(gt_id))]
-        gt_best_pid = np.where(gt_best_iou > 0, todo_id[best_j], 0)
-    else:
-        gt_best_iou = np.zeros(len(gt_id))
-        gt_best_pid = np.zeros(len(gt_id), np.int64)
+    # matching the reference's strict-greater sequential update :222-224):
+    # sort by (gt, iou asc, todo-pos desc); last per gt = max IoU, ties to
+    # the smallest todo position.
+    gt_best_iou = np.zeros(len(gt_id))
+    gt_best_pid = np.zeros(len(gt_id), np.int64)
+    if scored_pair.any():
+        sel = scored_pair
+        order = np.lexsort((-tpos[sel], iou_pair[sel], gg[sel]))
+        gs = gg[sel][order]
+        ious = iou_pair[sel][order]
+        ts = tpos[sel][order]
+        last = np.flatnonzero(np.r_[gs[1:] != gs[:-1], True])
+        gt_best_iou[gs[last]] = ious[last]
+        gt_best_pid[gs[last]] = np.where(ious[last] > 0,
+                                         todo_id[ts[last]], 0)
 
     claimed = result_p[:, 2]
     fn_mask = ~np.isin(gt_id, claimed)

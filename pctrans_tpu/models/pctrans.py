@@ -122,6 +122,7 @@ def build_model_config(cfg) -> ModelConfig:
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype="bfloat16" if cfg.MODEL.MIXED_PRECESION else "float32",
         upsample2x=cfg.MODEL.MASK_FORMER.TPU_RECIPE.UPSAMPLE2X,
+        remat=bool(cfg.MODEL.MASK_FORMER.TPU_RECIPE.get("REMAT", True)),
         **swin_kwargs,
     )
 

@@ -53,10 +53,28 @@ def initialize_distributed(coordinator: Optional[str] = None,
         # training an INDEPENDENT model into the same OUTPUT_PATH.  Where
         # there is no cluster to detect, initialize() raises without
         # touching any backend and we stay single-process.
+        # Only swallow the failure when the environment shows no cluster at
+        # all — on a host whose env markers say a pod/cluster IS expected
+        # (TPU pod metadata, Slurm, GKE/Kubernetes, OMPI), a rendezvous
+        # failure must be fatal: falling back would leave N independent
+        # trainers writing the same OUTPUT_PATH, the exact failure mode
+        # this branch exists to prevent.
+        cluster_markers = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
+                           "MEGASCALE_COORDINATOR_ADDRESS",
+                           "SLURM_JOB_ID", "SLURM_NTASKS",
+                           "KUBERNETES_SERVICE_HOST",
+                           "OMPI_COMM_WORLD_SIZE")
+        expected = [m for m in cluster_markers if env.get(m)]
         try:
             jax.distributed.initialize()
             return jax.process_index()
         except Exception as e:
+            if expected:
+                raise RuntimeError(
+                    "jax.distributed.initialize() auto-detection failed but "
+                    f"the environment indicates a cluster ({', '.join(expected)}); "
+                    "refusing to fall back to single-process training"
+                ) from e
             print(f"[distributed] no cluster auto-detected "
                   f"({type(e).__name__}: {e}); running single-process")
             return 0

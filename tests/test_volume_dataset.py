@@ -240,6 +240,20 @@ class TestReviewRegressions:
         assert dark.max() == pytest.approx((1 / 255 - 0.5) / 0.5)
         assert bright.max() == pytest.approx((200 / 255 - 0.5) / 0.5)
 
+    def test_normalize_scales_by_dtype_range(self):
+        # a uint16 microscopy volume must land in [0, 1] pre-standardize,
+        # not [0, 257] (dividing by 255 regardless of dtype)
+        ds = VolumeDataset(volume=[np.zeros((4, 8, 8), np.uint8)],
+                           mode="test", sample_volume_size=(2, 4, 4))
+        full16 = ds._normalize(np.full((2, 4, 4), 65535, np.uint16))
+        assert full16.max() == pytest.approx((1.0 - 0.5) / 0.5)
+        half16 = ds._normalize(np.full((2, 4, 4), 32768, np.uint16))
+        assert half16.max() == pytest.approx((32768 / 65535 - 0.5) / 0.5,
+                                             rel=1e-4)
+        # floats pass through unscaled
+        f = ds._normalize(np.full((2, 4, 4), 0.25, np.float32))
+        assert f.max() == pytest.approx((0.25 - 0.5) / 0.5)
+
     def test_label_center_crop_for_valid_conv(self):
         vol = np.random.RandomState(0).rand(8, 16, 16).astype(np.float32)
         lab = np.zeros((8, 16, 16), np.int32)
