@@ -37,11 +37,23 @@ def get_dataset(cfg, mode: str):
     if dt in ("synthetic", "synthetic_bbbc"):
         size = tuple(cfg.MODEL.INPUT_SIZE[-2:])
         length = 64 if mode == "train" else 8
-        # the bbbc flavor approximates a nuclei field (more, denser
-        # instances) and routes the BBBC eval protocol (trainer.validate)
-        n_inst = (8, 24) if dt == "synthetic_bbbc" else (4, 12)
+        # the bbbc flavor approximates a nuclei field and routes the BBBC
+        # eval protocol (trainer.validate): BBBC039 has ~50-150 nuclei per
+        # 520x696 image (~1.4e-4..4.1e-4 /px^2) of roughly fixed absolute
+        # size, so instance count scales with crop area while radii stay
+        # in pixels — at the 512^2 recipe crop this lands in the many-tens
+        # regime (the 300-query / MAX_INSTANCES>=128 path CVPPP never hits)
+        # yet keeps 32^2 test fixtures at a sane 2-4 instances.
+        if dt == "synthetic_bbbc":
+            area = size[0] * size[1]
+            n_inst = (max(2, int(area * 1.4e-4)), max(4, int(area * 4.1e-4)))
+            r_hi = max(6.0, min(22.0, 0.2 * min(size)))
+            radius = (max(3.0, min(10.0, 0.05 * min(size))), r_hi)
+        else:
+            n_inst, radius = (4, 12), None
         return SyntheticDataset(size=size, length=length, n_instances=n_inst,
-                                seed={"train": 0, "val": 1, "test": 2}[mode])
+                                seed={"train": 0, "val": 1, "test": 2}[mode],
+                                radius_px=radius)
     if dt in ("cellpose", "monuseg"):
         from .instance_folder import CellposeDataset, MoNuSegDataset
 

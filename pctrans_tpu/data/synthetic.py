@@ -17,8 +17,14 @@ def make_blob_image(
     rng: np.random.RandomState,
     size: Tuple[int, int] = (448, 448),
     n_instances: Tuple[int, int] = (4, 12),
+    radius_px: Tuple[float, float] | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Returns (image [H, W, 3] float32 ~N(0,1)-ish, label [H, W] int32)."""
+    """Returns (image [H, W, 3] float32 ~N(0,1)-ish, label [H, W] int32).
+
+    ``radius_px`` switches blob radii from image-relative fractions
+    (leaf-like: few large instances) to absolute pixels (nucleus-like:
+    size-independent blobs, so dense fields pack without clipping).
+    """
     H, W = size
     n = rng.randint(n_instances[0], n_instances[1] + 1)
     label = np.zeros((H, W), np.int32)
@@ -29,8 +35,12 @@ def make_blob_image(
     for _ in range(n):
         cy = rng.uniform(0.1 * H, 0.9 * H)
         cx = rng.uniform(0.1 * W, 0.9 * W)
-        ry = rng.uniform(0.04, 0.12) * H
-        rx = rng.uniform(0.04, 0.12) * W
+        if radius_px is not None:
+            ry = rng.uniform(*radius_px)
+            rx = rng.uniform(*radius_px)
+        else:
+            ry = rng.uniform(0.04, 0.12) * H
+            rx = rng.uniform(0.04, 0.12) * W
         theta = rng.uniform(0, np.pi)
         ct, st = np.cos(theta), np.sin(theta)
         u = (xx - cx) * ct + (yy - cy) * st
@@ -56,11 +66,12 @@ class SyntheticDataset:
     """Finite synthetic dataset with deterministic content per index."""
 
     def __init__(self, size=(448, 448), length: int = 64, seed: int = 0,
-                 n_instances=(4, 12), cache: bool = True):
+                 n_instances=(4, 12), cache: bool = True, radius_px=None):
         self.size = tuple(size)
         self.length = length
         self.seed = seed
         self.n_instances = n_instances
+        self.radius_px = radius_px
         # content is deterministic per index, so memoize: at the production
         # recipe the single host CPU otherwise regenerates each 448^2 image
         # (~tens of ms) every epoch and can starve the TPU train step
@@ -73,7 +84,8 @@ class SyntheticDataset:
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
         rng = np.random.RandomState(self.seed * 100003 + idx)
-        img, label = make_blob_image(rng, self.size, self.n_instances)
+        img, label = make_blob_image(rng, self.size, self.n_instances,
+                                     radius_px=self.radius_px)
         item = {"image": img, "label": label}
         if self._cache is not None:
             self._cache[idx] = item

@@ -110,12 +110,30 @@ with mesh:
     assert batch["image"].shape[0] == 2
     _mark("replicate")
 
-    if rank == 1:
-        client.wait_at_barrier("pctrans_mh_compiled", 900_000)
-    compiled = step.lower(state_r, batch, key0).compile()
-    _mark("compile")
+    # Rank 1's SPMD compile used to miss the persistent cache EVERY run
+    # (~35 s recompile — this test's entire cost), for two compounding
+    # reasons: (a) the cache key's accelerator_config entry hashes
+    # get_topology_for_devices(), which on multi-process CPU embeds
+    # process-local topology detail, so the ranks never produce the same
+    # key; and (b) jax only writes cache entries from process 0, so rank
+    # 1's compiles were never persisted either.  Force the device-kind
+    # fallback hash (identical across ranks) so both ranks share ONE key,
+    # and order the compiles: rank 0 compiles first (writing the entry),
+    # then rank 1 compiles and is served the just-written disk entry —
+    # fast even on a fully cold cache, with no cross-process executable
+    # serialization (jax.experimental.serialize_executable round-trips
+    # fail at execution on this host: AOT machine-feature mismatch).
+    from jax._src import cache_key as _ck
+    _ck._hash_accelerator_config = (
+        lambda hash_obj, accelerators: _ck._hash_devices(hash_obj,
+                                                         accelerators))
     if rank == 0:
+        compiled = step.lower(state_r, batch, key0).compile()
         client.wait_at_barrier("pctrans_mh_compiled", 900_000)
+    else:
+        client.wait_at_barrier("pctrans_mh_compiled", 900_000)
+        compiled = step.lower(state_r, batch, key0).compile()
+    _mark("compile")
     client.wait_at_barrier("pctrans_mh_run", 900_000)
     _, metrics = compiled(state_r, batch, key0)
     print("MULTIHOST_LOSS %.8f" % float(metrics["loss"]), flush=True)
