@@ -78,6 +78,28 @@ def _emit(obj) -> None:
     print(json.dumps(obj), flush=True)
 
 
+def _status(msg: str) -> None:
+    """Phase progress to stderr (stdout stays one JSON line) with wall time,
+    so a stalled capture shows WHERE it stalled, not just that it did."""
+    print("[bench %7.1fs] %s" % (time.perf_counter() - _T0, msg),
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
+def _setup_jax() -> None:
+    """Persistent compile cache: repeated captures on one host skip the
+    ~20-40 s/program remote compiles (the kernel gate still executes on
+    device, so a stale-cache miscompile cannot slip past it)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _probe_backend():
     """Check the accelerator backend comes up, in a subprocess with a
     timeout (a dead relay makes jax.devices() hang in C code — it cannot
@@ -141,6 +163,7 @@ def kernel_check() -> str:
 
     if jax.default_backend() != "tpu":
         return "skipped (backend=%s)" % jax.default_backend()
+    _status("kernel_check: compiling matmul + pallas2 ms-deform")
     rng = np.random.RandomState(0)
     shapes = ((28, 25), (14, 13), (7, 7))
     S = sum(h * w for h, w in shapes)
@@ -150,10 +173,13 @@ def kernel_check() -> str:
     locs = jnp.asarray(rng.rand(B, Lq, M, len(shapes), P, 2), jnp.float32)
     w = jnp.asarray(rng.rand(B, Lq, M, len(shapes), P), jnp.float32)
     w = w / w.sum(axis=(-2, -1), keepdims=True)
+    # shapes is a static (python) argument: close over it, don't trace it
     ref = np.asarray(jax.jit(
-        lambda *a: ms_deform_attn(*a, impl="matmul"))(value, shapes, locs, w))
+        lambda v, l, a: ms_deform_attn(v, shapes, l, a, impl="matmul")
+    )(value, locs, w))
     out = np.asarray(jax.jit(
-        lambda *a: ms_deform_attn(*a, impl="pallas2"))(value, shapes, locs, w))
+        lambda v, l, a: ms_deform_attn(v, shapes, l, a, impl="pallas2")
+    )(value, locs, w))
     err = float(np.max(np.abs(out - ref)))
     scale = float(np.max(np.abs(ref))) or 1.0
     if err / scale < 2e-3:
@@ -189,9 +215,11 @@ def bench_inference(B: int, H: int, W: int, num_queries: int = 100,
     import jax.numpy as jnp
     import numpy as np
 
+    _status(f"inference bench B={B} {H}x{W} Q={num_queries}: init params")
     state, eval_step = _make_state_and_eval(num_queries, top_k, dtype)
     x = jax.device_put(jnp.asarray(
         np.random.RandomState(0).randn(B, H, W, 3), jnp.float32))
+    _status("inference bench: lower/compile for cost analysis")
 
     # XLA-counted FLOPs of one eval step.  The Pallas ms-deform kernel is a
     # custom call XLA counts as zero, so its matmul FLOPs are added
@@ -214,7 +242,9 @@ def bench_inference(B: int, H: int, W: int, num_queries: int = 100,
 
         return jax.lax.fori_loop(0, iters, body, c)
 
+    _status("inference bench: compiling timed loop + measuring")
     dt = _timed_loop(loop, iters)
+    _status("inference bench: done (%.1f img/s)" % (B / dt))
     return B / dt, flops / B if flops else None
 
 
@@ -229,6 +259,7 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
     from pctrans_tpu.losses import SetCriterion, CriterionConfig
     from pctrans_tpu.models import PCTransModel, ModelConfig
 
+    _status("train bench: init model + optimizer")
     B, S = 2, 448
     cfg = get_cfg_defaults()
     # BENCH_TRAIN_REMAT=0 measures the no-remat step (skips the bwd-pass
@@ -262,6 +293,7 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
     # under AD), whose dots cost_analysis already counts.
     flops = _xla_flops(step.lower(state, batch, rng).compile())
 
+    _status("train bench: compiling train step")
     # Python-loop dispatch with a dependent final scalar fetch: each step
     # consumes the previous state, so the chain serializes on device, and
     # float() blocks on the value (unlike block_until_ready through the
@@ -285,6 +317,7 @@ def main():
         "unit": "images/sec",
         "vs_baseline": None,
     }
+    _status("probing backend (subprocess)")
     ok, detail = _probe_backend()
     if not ok:
         out.update(error="backend-init", error_detail=detail,
@@ -292,6 +325,8 @@ def main():
         _emit(out)
         sys.exit(1)
     out["backend"] = detail
+    _status("backend up: %s" % detail)
+    _setup_jax()
 
     try:
         out["kernel_check"] = kernel_check()
