@@ -134,7 +134,11 @@ def get_cfg_defaults() -> CfgNode:
     # UPSAMPLE2X True to reproduce the reference estimators bit-for-bit
     # (tools_dev/twin_recipe_run.py measures the metric-level delta).
     mf.TPU_RECIPE = CfgNode()
-    mf.TPU_RECIPE.POINT_SELECT = "shared"
+    # "dense" evaluates losses/matcher costs at every stride-4 logit pixel
+    # (h*w ~ TRAIN_NUM_POINTS at these recipes) — the zero-variance member
+    # of the same importance-weighted estimator family, with no sampling
+    # contractions; "shared"/"weighted"/"topk" are the sampled variants.
+    mf.TPU_RECIPE.POINT_SELECT = "dense"
     mf.TPU_RECIPE.CANDIDATE_RATIO = 1.0
     mf.TPU_RECIPE.EXACT_TARGETS = False
     mf.TPU_RECIPE.SAMPLE_DTYPE = "bfloat16"

@@ -88,15 +88,24 @@ class CfgNode(dict):
             data = yaml.safe_load(f) or {}
         self.merge_from_other(data, allow_new=allow_new)
 
-    def merge_from_list(self, opts: List[str]) -> None:
+    def merge_from_list(self, opts: List[str], allow_new: bool = False) -> None:
+        """``--opts KEY VALUE ...`` overrides.  Like YACS (the reference's
+        config CLI, connectomics/config/utils.py:30-38), unknown keys RAISE
+        by default — a typo'd override key silently creating a dead branch
+        is strictly worse than an error (``MONITOR.ITERATION_LOG 5`` would
+        otherwise no-op instead of pointing at ``MONITOR.ITERATION_NUM``)."""
         assert len(opts) % 2 == 0, f"--opts must be KEY VALUE pairs, got {opts}"
         for key, value in zip(opts[0::2], opts[1::2]):
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
                 if p not in node:
+                    if not allow_new:
+                        raise KeyError(f"Unknown config key: {key}")
                     node[p] = CfgNode()
                 node = node[p]
+            if parts[-1] not in node and not allow_new:
+                raise KeyError(f"Unknown config key: {key}")
             node[parts[-1]] = _coerce(_parse_literal(value), node.get(parts[-1]))
 
     # -- io -----------------------------------------------------------------

@@ -40,11 +40,12 @@ from ..ops.point_sample import (
     kth_largest_threshold,
     point_sample,
     sample_label_onehot,
+    sample_label_onehot_grid,
     uncertain_point_weights,
 )
 from .contrast import cosine_similarity_matrix, pairwise_mask_dice, reid_losses_one_image
 from .discriminative import discriminative_loss
-from .matcher import point_matcher_indices
+from .matcher import dense_matcher_indices, point_matcher_indices
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,7 +75,19 @@ class CriterionConfig:
     # boundaries.  True reproduces the reference's full-resolution targets.
     exact_targets: bool = False
     # How PointRend importance sampling picks its points:
-    #   "shared" (default): one candidate set per image per layer, shared
+    #   "dense" (default): no sampling at all — losses and matcher costs are
+    #     evaluated at EVERY pixel of the stride-4 logits' own grid, with the
+    #     PointRend importance weighting applied per pixel (selected-quantile
+    #     mass + uniform fill, exactly the "shared" estimator with the
+    #     candidate set = the grid).  At the trained recipes h*w ~
+    #     TRAIN_NUM_POINTS (448^2/16 = 12544 = the configured num_points), so
+    #     this is the ZERO-VARIANCE member of the same estimator family at
+    #     the same evaluation count — and it deletes the per-layer bilinear
+    #     sampling contractions (measured 16.4 ms of the 102 ms train step)
+    #     because predictions are read directly and the GT one-hots reduce
+    #     to 4 corner gathers done once per step, shared across all layers.
+    #     Deterministic given the match.
+    #   "shared": one candidate set per image per layer, shared
     #     across masks (the reference matcher already shares its points
     #     across all masks, matcher.py:116), with selection folded into
     #     per-mask per-point weights (sort-free threshold).  GT values come
@@ -85,7 +98,7 @@ class CriterionConfig:
     #   "weighted": per-mask candidates, selection as weights (sort-free).
     #   "topk": reference data flow, select-then-gather via approx_max_k.
     #   "exact": bit-exact torch.topk semantics (oracle comparisons).
-    point_select: str = "shared"
+    point_select: str = "dense"
     # Candidate-set size for the "shared" path, as a multiple of num_points.
     # The reference evaluates its loss at num_points positions whose density
     # is 3x higher (oversample_ratio) inside the most-uncertain quantile;
@@ -144,6 +157,36 @@ class SetCriterion:
         self.cfg = config
 
     # -------------------------------------------------------------- pieces
+    def _layer_mask_losses_dense(self, pred, tgt_hw, q4g, valid, num_masks):
+        """CE + dice evaluated densely on the logits' own grid with
+        PointRend importance weights (CriterionConfig.point_select "dense").
+        pred [B, Q, h, w]; tgt_hw [B, G, h*w] GT on the same grid."""
+        c = self.cfg
+        B, Q, h, w = pred.shape
+        G = q4g.shape[1]
+        P = h * w
+        logits = jnp.take_along_axis(
+            pred, q4g[:, :, None, None], axis=1
+        ).reshape(B, G, P).astype(jnp.float32)
+
+        # identical weighting scheme to the shared path: the top
+        # (imp/oversample) uncertainty quantile of the candidate set (here:
+        # the whole grid) carries the reference's imp*num_points selected
+        # mass; every position carries the uniform-fill share.
+        uncert = -jnp.abs(jax.lax.stop_gradient(logits))
+        k_q = max(int(P * c.importance_sample_ratio / c.oversample_ratio), 1)
+        t = kth_largest_threshold(uncert, k_q)
+        sel = uncert >= t
+        n_sel = sel.sum(-1, keepdims=True).astype(jnp.float32)
+        w_sel = c.importance_sample_ratio * c.num_points / jnp.maximum(
+            n_sel, 1.0)
+        w_fill = (1.0 - c.importance_sample_ratio) * c.num_points / P
+        wp = jax.lax.stop_gradient(jnp.where(sel, w_sel, 0.0) + w_fill)
+
+        ce, dice = _weighted_point_losses(wp, logits, tgt_hw)
+        v = valid.astype(jnp.float32)
+        return (ce * v).sum() / num_masks, (dice * v).sum() / num_masks
+
     def _layer_mask_losses_shared(self, rng, pred, seg, q4g, valid, num_masks):
         """Point-sampled sigmoid-CE + dice, shared-candidate formulation
         (CriterionConfig.point_select doc).  pred [B, Q, h, w] stride-4
@@ -278,11 +321,22 @@ class SetCriterion:
         # GT-side sampling goes through the integer label map (exact; see
         # ops/point_sample.sample_label_onehot)
         seg = targets["seg"]
-        indices = jax.vmap(
-            lambda k, p: point_matcher_indices(
-                k, p, seg, valid, c.num_points, c.mask_weight, c.dice_weight
-            )
-        )(match_keys, stacked_ng)  # [L, B, G]
+        tgt_dense = None
+        if c.point_select == "dense":
+            h, w = stacked.shape[-2:]
+            # GT on the logits' grid, once per step, shared by all layers
+            tgt_dense = jax.lax.stop_gradient(
+                sample_label_onehot_grid(seg, (h, w), G).reshape(B, G, h * w))
+            indices = jax.vmap(
+                lambda p: dense_matcher_indices(
+                    p, tgt_dense, valid, c.mask_weight, c.dice_weight)
+            )(stacked_ng)  # [L, B, G]
+        else:
+            indices = jax.vmap(
+                lambda k, p: point_matcher_indices(
+                    k, p, seg, valid, c.num_points, c.mask_weight, c.dice_weight
+                )
+            )(match_keys, stacked_ng)  # [L, B, G]
 
         num_masks = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
 
@@ -292,7 +346,12 @@ class SetCriterion:
         # All L predictions share one shape: vmap the point-sampled losses
         # over the layer axis (one compiled graph instead of L copies).
         point_keys = jax.random.split(k_points, L)
-        if c.point_select == "shared":
+        if c.point_select == "dense":
+            lm, ld = jax.vmap(
+                self._layer_mask_losses_dense,
+                in_axes=(0, None, 0, None, None)
+            )(stacked, tgt_dense, indices, valid, num_masks)
+        elif c.point_select == "shared":
             lm, ld = jax.vmap(
                 self._layer_mask_losses_shared,
                 in_axes=(0, 0, None, 0, None, None)

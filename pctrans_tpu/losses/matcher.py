@@ -71,6 +71,33 @@ def match_one_image(
     return match_padded(cost, valid)
 
 
+def dense_matcher_indices(
+    pred_logits: jnp.ndarray,   # [B, Q, h, w]
+    tgt_dense: jnp.ndarray,     # [B, G, h*w] GT masks on the pred grid
+    valid: jnp.ndarray,         # [B, G]
+    cost_mask: float = 5.0,
+    cost_dice: float = 5.0,
+) -> jnp.ndarray:
+    """Matching with costs evaluated DENSELY on the prediction's own grid.
+
+    The reference matcher Monte-Carlo-estimates its CE/dice costs at
+    ``num_points`` uniform points (matcher.py:116-129); at the trained
+    recipe the stride-4 logits hold h*w ~ num_points pixels, so the dense
+    evaluation is the zero-variance version of the same estimator at the
+    same FLOP count — minus all sampling machinery (see
+    CriterionConfig.point_select "dense").  Deterministic (no RNG).
+    Returns query4gt int32 [B, G].
+    """
+    B, Q, h, w = pred_logits.shape
+    out = pred_logits.reshape(B, Q, h * w)
+
+    def one(o, t, v):
+        cost = _pair_costs(o, t.astype(o.dtype), cost_mask, cost_dice)
+        return match_padded(cost, v)
+
+    return jax.vmap(one)(out, tgt_dense, valid)
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6))
 def point_matcher_indices(
     key: jax.Array,

@@ -303,6 +303,12 @@ def sample_label_onehot(seg: jnp.ndarray, point_coords: jnp.ndarray,
     P = point_coords.shape[1]
     x = point_coords[..., 0] * W - 0.5
     y = point_coords[..., 1] * H - 0.5
+    return _label_onehot_at(seg, x, y, num_ids)
+
+
+def _label_onehot_at(seg: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                     num_ids: int) -> jnp.ndarray:
+    B, H, W = seg.shape
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     tx = (x - x0).astype(jnp.float32)
@@ -325,3 +331,30 @@ def sample_label_onehot(seg: jnp.ndarray, point_coords: jnp.ndarray,
         + corner(x0i, y0i + 1, (1 - tx) * ty)
         + corner(x0i + 1, y0i + 1, tx * ty)
     )
+
+
+def sample_label_onehot_grid(seg: jnp.ndarray, hw: Tuple[int, int],
+                             num_ids: int) -> jnp.ndarray:
+    """All instances' one-hot masks bilinearly sampled at the PIXEL CENTERS
+    of an (h, w) grid — the dense-grid special case of
+    :func:`sample_label_onehot` (same grid_sample align_corners=False
+    semantics, coords x=(j+0.5)/w, y=(i+0.5)/h).
+
+    This is the GT side of the criterion's ``dense`` point mode: the
+    stride-4 mask logits have h*w ~ TRAIN_NUM_POINTS positions, so
+    evaluating losses densely on their own grid replaces the per-layer
+    random-point sampling contractions while the GT reduces to 4 corner
+    gathers computed ONCE per step (shared by all decoder layers).
+
+    seg: [B, H, W] int (0 = background).  Returns [B, num_ids, h, w] f32.
+    """
+    B, H, W = seg.shape
+    h, w = hw
+    x = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (W / w) - 0.5   # [w]
+    y = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (H / h) - 0.5   # [h]
+    gx = jnp.broadcast_to(x[None, :], (h, w)).reshape(-1)
+    gy = jnp.broadcast_to(y[:, None], (h, w)).reshape(-1)
+    gx = jnp.broadcast_to(gx[None], (B, h * w))
+    gy = jnp.broadcast_to(gy[None], (B, h * w))
+    out = _label_onehot_at(seg, gx, gy, num_ids)                   # [B, G, hw]
+    return out.reshape(B, num_ids, h, w)

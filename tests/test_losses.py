@@ -54,6 +54,31 @@ class TestMatcher:
         # all assigned queries distinct
         assert len(set(q4g[0].tolist())) == G
 
+    def test_dense_matches_point_matcher(self):
+        """dense_matcher_indices agrees with the sampled matcher on
+        well-separated costs (same estimator family, zero variance)."""
+        from pctrans_tpu.losses.matcher import dense_matcher_indices
+        from pctrans_tpu.ops.point_sample import sample_label_onehot_grid
+
+        H = W = 32
+        G, Q = 4, 6
+        seg = np.zeros((1, H, W), np.int32)
+        seg[0, :16, :16] = 1
+        seg[0, 16:, 16:] = 2
+        valid = np.array([[True, True, False, False]])
+        pred = np.full((1, Q, H, W), -10.0, np.float32)
+        pred[0, 2, :16, :16] = 10.0
+        pred[0, 5, 16:, 16:] = 10.0
+        tgt = sample_label_onehot_grid(jnp.array(seg), (H, W), G)
+        q4g = np.asarray(dense_matcher_indices(
+            jnp.array(pred), tgt.reshape(1, G, H * W), jnp.array(valid)))
+        ref = np.asarray(point_matcher_indices(
+            jax.random.key(0), jnp.array(pred), jnp.array(seg),
+            jnp.array(valid), 512))
+        assert q4g[0, 0] == ref[0, 0] == 2
+        assert q4g[0, 1] == ref[0, 1] == 5
+        assert len(set(q4g[0].tolist())) == G
+
 
 def reid_oracle(query, emb_dist, mask_dice, q4g, valid):
     """Literal transcription of the reference's select_pos_neg_* + reid losses
@@ -202,7 +227,7 @@ class TestCriterion:
         targets = targets_from_labels(jnp.array(label), max_instances=4)
         outputs = self._fake_outputs(rng, h=16, w=16)
         vals = {}
-        for mode in ("shared", "weighted", "topk", "exact"):
+        for mode in ("dense", "shared", "weighted", "topk", "exact"):
             crit = SetCriterion(CriterionConfig(
                 num_points=2048, dec_layers=3, exact_targets=True,
                 point_select=mode, sample_dtype="float32"))
@@ -211,7 +236,7 @@ class TestCriterion:
             vals[mode] = (float(losses["loss_mask"]),
                           float(losses["loss_dice"]))
         ce_ref, dice_ref = vals["exact"]
-        for mode in ("shared", "weighted", "topk"):
+        for mode in ("dense", "shared", "weighted", "topk"):
             ce, dice = vals[mode]
             assert abs(ce - ce_ref) < 0.15 * abs(ce_ref) + 0.05, (mode, vals)
             assert abs(dice - dice_ref) < 0.15 * abs(dice_ref) + 0.05, (mode, vals)

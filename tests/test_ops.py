@@ -36,6 +36,26 @@ class TestPointSample:
         gat = np.asarray(grid_sample_bilinear_gather(jnp.array(img), jnp.array(x), jnp.array(y)))
         np.testing.assert_allclose(hat, gat, rtol=1e-5, atol=1e-6)
 
+    def test_label_onehot_grid_matches_point_sample(self, rng):
+        """sample_label_onehot_grid == point_sample of the one-hot masks at
+        the grid's pixel-center coords (the dense criterion's GT side)."""
+        from pctrans_tpu.ops.point_sample import (point_sample,
+                                                  sample_label_onehot_grid)
+
+        B, H, W, G, h, w = 2, 20, 24, 3, 5, 6
+        seg = (rng.rand(B, H, W) * (G + 1)).astype(np.int32)
+        onehot = np.stack([(seg == g + 1).astype(np.float32)
+                           for g in range(G)], axis=1)  # [B, G, H, W]
+        xs = (np.arange(w) + 0.5) / w
+        ys = (np.arange(h) + 0.5) / h
+        gx, gy = np.meshgrid(xs, ys)  # [h, w]
+        coords = np.stack([gx.ravel(), gy.ravel()], -1)[None].repeat(B, 0)
+        ref = np.asarray(point_sample(jnp.array(onehot), jnp.array(
+            coords.astype(np.float32))))  # [B, G, h*w]
+        out = np.asarray(sample_label_onehot_grid(jnp.array(seg), (h, w), G))
+        np.testing.assert_allclose(out.reshape(B, G, h * w), ref,
+                                   rtol=1e-5, atol=1e-6)
+
     def test_matches_torch_grid_sample(self, rng):
         B, C, H, W = 2, 3, 13, 17
         P = 50
