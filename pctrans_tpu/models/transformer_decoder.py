@@ -30,12 +30,14 @@ is equivalent and keeps the model target-free).
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.render_pallas import dynamic_mask_render
 from ..ops.resize import resize_bilinear
 from .layers import (
     MLP,
@@ -360,8 +362,6 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         # them, :668-669); computed in f32 so bf16 doesn't quantize positions
         scale = jnp.asarray([Wm * stride, Hm * stride], jnp.float32)
         inst_xy = reference_points[..., :2].astype(jnp.float32) * scale  # [B, Q, 2]
-        locations = compute_locations(Hm, Wm, stride, jnp.float32)  # [HW, 2]
-        rel = inst_xy[:, :, None, :] - locations[None, None, :, :]  # [B, Q, HW, 2]
 
         # split controller output: weights then biases (reference :944-979)
         w_sizes = self.weight_nums
@@ -379,38 +379,73 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
 
         feats = mask_feat.reshape(B, Hm * Wm, Cm)
 
-        def render(feats, rel, w1, w2, w3, b1, b2, b3):
-            if self.rel_coord:
-                # input channel order: [rel_coords(2), mask_feats(Cm)]
-                # (reference :672).  The rel contribution runs f32
-                # (coordinates), the feature contribution in the compute
-                # dtype; the sum is cast back down so the [B, Q, ch, HW]
-                # tensors — the largest in the decoder — stay in the compute
-                # dtype.
-                x = (
-                    jnp.einsum("bqso,bqco->bqcs", rel, w1[..., :2].astype(jnp.float32))
-                    + jnp.einsum("bso,bqco->bqcs", feats, w1[..., 2:].astype(dtype))
-                    + b1[..., None]
-                ).astype(dtype)
-            else:
-                x = (jnp.einsum("bso,bqco->bqcs", feats, w1.astype(dtype))
-                     + b1[..., None]).astype(dtype)
-            x = nn.relu(x)
-            # conv layers 2+3 as batched einsums.  (A hand-unrolled
-            # "fused elementwise" variant — 64 broadcast-multiply terms —
-            # was tried to save the two [B, Q, ch, HW] HBM round trips,
-            # but measured 115.6 ms vs 75.7 ms for the whole eval step on
-            # v5e: XLA schedules the unrolled DAG as many small fusions
-            # that re-read x, while the einsum contractions hit the MXU.)
-            x = nn.relu(jnp.einsum("bqos,bqco->bqcs", x, w2.astype(dtype))
-                        + b2[..., None].astype(dtype))
-            x = (jnp.einsum("bqos,bqco->bqcs", x, w3.astype(dtype))
-                 + b3[..., None].astype(dtype))
-            return x.reshape(B, Q, Hm, Wm).astype(jnp.float32)
+        # Implementation dispatch (same pattern as ops/msdeform.py): the
+        # fused Pallas kernel on TPU EVAL graphs (every intermediate
+        # VMEM-resident, only the [B, Q, HW] output touches HBM — the
+        # einsum formulation round-trips three ~[B, Q, ch, HW] tensors
+        # through HBM per render and was the decoder's dominant eval cost:
+        # 2.89 -> 1.22 ms per render at CVPPP eval shapes), einsums
+        # elsewhere.  Train graphs keep the einsum path: the kernel's
+        # custom-VJP re-derives through the einsum formulation anyway, so
+        # under AD it saves only the fwd render while paying a much longer
+        # XLA compile (tools_dev/bench_render.py: fwd+bwd kernel 4.9 vs
+        # einsum 3.6 ms at eval shapes).  $PCTRANS_RENDER_IMPL overrides.
+        impl = os.environ.get("PCTRANS_RENDER_IMPL") or (
+            "pallas" if jax.default_backend() == "tpu" and not self.train
+            else "einsum")
 
-        if self.remat:  # the [B, Q, ch, HW] tensors dominate decoder memory
-            render = jax.checkpoint(render)
-        mask_logits = render(feats, rel, w1, w2, w3, b1, b2, b3)  # [B, Q, Hm, Wm]
+        if impl == "pallas":
+            # Fused kernel: rel coords are re-derived inside (the [B, Q, HW,
+            # 2] rel tensor itself — ~266 MB at eval shapes — never exists).
+            # Backward re-derives through the einsum formulation
+            # (ops/render_pallas._bwd), so remat of the forward is free of
+            # the [B, Q, ch, HW] residuals either way.
+            def render(feats, inst_xy, w1, w2, w3, b1, b2, b3):
+                out = dynamic_mask_render(
+                    feats, inst_xy, w1, w2, w3, b1, b2, b3,
+                    (Hm, Wm), stride, self.rel_coord)
+                return out.reshape(B, Q, Hm, Wm)
+
+            if self.remat:
+                render = jax.checkpoint(render)
+            mask_logits = render(feats, inst_xy, w1, w2, w3, b1, b2, b3)
+        else:
+            locations = compute_locations(Hm, Wm, stride, jnp.float32)
+            rel = inst_xy[:, :, None, :] - locations[None, None, :, :]
+
+            def render(feats, rel, w1, w2, w3, b1, b2, b3):
+                if self.rel_coord:
+                    # input channel order: [rel_coords(2), mask_feats(Cm)]
+                    # (reference :672).  The rel contribution runs f32
+                    # (coordinates), the feature contribution in the compute
+                    # dtype; the sum is cast back down so the [B, Q, ch, HW]
+                    # tensors — the largest in the decoder — stay in the
+                    # compute dtype.
+                    x = (
+                        jnp.einsum("bqso,bqco->bqcs", rel, w1[..., :2].astype(jnp.float32))
+                        + jnp.einsum("bso,bqco->bqcs", feats, w1[..., 2:].astype(dtype))
+                        + b1[..., None]
+                    ).astype(dtype)
+                else:
+                    x = (jnp.einsum("bso,bqco->bqcs", feats, w1.astype(dtype))
+                         + b1[..., None]).astype(dtype)
+                x = nn.relu(x)
+                # conv layers 2+3 as batched einsums.  (A hand-unrolled
+                # "fused elementwise" XLA variant — 64 broadcast-multiply
+                # terms — was tried to save the two [B, Q, ch, HW] HBM round
+                # trips, but measured 115.6 ms vs 75.7 ms for the whole eval
+                # step on v5e: XLA schedules the unrolled DAG as many small
+                # fusions that re-read x.  The Pallas path above is that
+                # fusion done properly, in VMEM.)
+                x = nn.relu(jnp.einsum("bqos,bqco->bqcs", x, w2.astype(dtype))
+                            + b2[..., None].astype(dtype))
+                x = (jnp.einsum("bqos,bqco->bqcs", x, w3.astype(dtype))
+                     + b3[..., None].astype(dtype))
+                return x.reshape(B, Q, Hm, Wm).astype(jnp.float32)
+
+            if self.remat:  # the [B, Q, ch, HW] tensors dominate memory
+                render = jax.checkpoint(render)
+            mask_logits = render(feats, rel, w1, w2, w3, b1, b2, b3)
 
         # attention mask for the next layer
         attn = resize_bilinear(mask_logits, attn_size)            # [B, Q, h, w]

@@ -442,3 +442,98 @@ class TestAuctionLAP:
         ca = np.asarray(costs)[a, np.arange(6)][va].sum()
         cj = np.asarray(costs)[j, np.arange(6)][va].sum()
         assert ca == pytest.approx(cj, abs=1e-3)
+
+
+# ----------------------------------------------------- dynamic mask render
+def render_torch_oracle(feats, inst_xy, w1, w2, w3, b1, b2, b3, hw, stride):
+    """Literal torch transcription of the reference dynamic mask head
+    (mask2former_transformer_decoder.py:647-719): per-(b, q) 3-layer 1x1
+    conv over [rel_coords, mask_feats]."""
+    B, HW, Cm = feats.shape
+    Q = inst_xy.shape[1]
+    Hm, Wm = hw
+    xs = torch.arange(Wm, dtype=torch.float32) * stride + stride // 2
+    ys = torch.arange(Hm, dtype=torch.float32) * stride + stride // 2
+    gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+    loc = torch.stack([gx.reshape(-1), gy.reshape(-1)], dim=1)  # [HW, 2]
+    out = torch.zeros(B, Q, HW)
+    for b in range(B):
+        for q in range(Q):
+            rel = inst_xy[b, q][None, :] - loc                  # [HW, 2]
+            x = torch.cat([rel, feats[b]], dim=1)               # [HW, cin]
+            x = torch.relu(x @ w1[b, q].T + b1[b, q])
+            x = torch.relu(x @ w2[b, q].T + b2[b, q])
+            out[b, q] = (x @ w3[b, q].T + b3[b, q])[:, 0]
+    return out
+
+
+class TestRenderPallas:
+    """Fused dynamic-mask render kernel (ops/render_pallas.py) vs a literal
+    torch oracle and the einsum formulation; interpret mode on CPU."""
+
+    def _inputs(self, rng, B=2, Q=5, Cm=16, ch=8, Hm=9, Wm=11, stride=4):
+        HW = Hm * Wm
+        t = lambda *s: rng.randn(*s).astype(np.float32) * 0.3
+        feats = t(B, HW, Cm)
+        inst = (rng.rand(B, Q, 2) * [Wm * stride, Hm * stride]).astype(np.float32)
+        return (feats, inst, t(B, Q, ch, Cm + 2), t(B, Q, ch, ch),
+                t(B, Q, 1, ch), t(B, Q, ch), t(B, Q, ch), t(B, Q, 1),
+                (Hm, Wm), stride)
+
+    def test_matches_torch_oracle(self, rng):
+        from pctrans_tpu.ops.render_pallas import dynamic_mask_render
+
+        args = self._inputs(rng)
+        ref = render_torch_oracle(*[torch.from_numpy(a) for a in args[:8]],
+                                  args[8], args[9]).numpy()
+        out = np.asarray(dynamic_mask_render(
+            *[jnp.asarray(a) for a in args[:8]], args[8], args[9]))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_matches_einsum_formulation_and_odd_shapes(self, rng):
+        from pctrans_tpu.ops.render_pallas import (dynamic_mask_render,
+                                                   render_reference)
+
+        # Q not a multiple of 8, HW not a multiple of 128, Cm + 3 unpadded
+        args = self._inputs(rng, B=1, Q=3, Hm=7, Wm=13)
+        ref = np.asarray(render_reference(
+            *[jnp.asarray(a) for a in args[:8]], hw=args[8], stride=args[9],
+            dtype=jnp.float32))
+        out = np.asarray(dynamic_mask_render(
+            *[jnp.asarray(a) for a in args[:8]], args[8], args[9]))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    def test_grads_match_einsum(self, rng):
+        from pctrans_tpu.ops.render_pallas import (dynamic_mask_render,
+                                                   render_reference)
+
+        args = self._inputs(rng, B=1, Q=4, Hm=5, Wm=6)
+        ja = [jnp.asarray(a) for a in args[:8]]
+
+        def lk(*a):
+            return (dynamic_mask_render(*a, args[8], args[9]) ** 2).sum()
+
+        def lr(*a):
+            return (render_reference(*a, hw=args[8], stride=args[9],
+                                     dtype=jnp.float32) ** 2).sum()
+
+        gk = jax.grad(lk, argnums=tuple(range(8)))(*ja)
+        gr = jax.grad(lr, argnums=tuple(range(8)))(*ja)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_no_rel_coord(self, rng):
+        from pctrans_tpu.ops.render_pallas import (dynamic_mask_render,
+                                                   render_reference)
+
+        args = self._inputs(rng)
+        w1 = args[2][..., 2:]  # feats-only input channels
+        ref = np.asarray(render_reference(
+            jnp.asarray(args[0]), jnp.asarray(args[1]), jnp.asarray(w1),
+            *[jnp.asarray(a) for a in args[3:8]], hw=args[8],
+            stride=args[9], rel_coord=False, dtype=jnp.float32))
+        out = np.asarray(dynamic_mask_render(
+            jnp.asarray(args[0]), jnp.asarray(args[1]), jnp.asarray(w1),
+            *[jnp.asarray(a) for a in args[3:8]], args[8], args[9], False))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
