@@ -109,9 +109,11 @@ class TestResize:
 # --------------------------------------------------------------------- LAP
 class TestLAP:
     def test_matches_scipy_total_cost(self, rng):
-        for trial in range(20):
-            R = rng.randint(1, 12)
-            C = rng.randint(R, 20)
+        # fixed shape ladder (1 compile each) instead of 20 random shapes:
+        # covers the degenerate single-row case, square, near-square, and
+        # wide rectangles — same coverage, ~1/3 of the solver compiles
+        shapes = [(1, 1), (1, 7), (3, 3), (5, 6), (7, 19), (11, 12)]
+        for trial, (R, C) in enumerate(shapes):
             cost = rng.randn(R, C).astype(np.float32) * 10
             rows, cols = linear_sum_assignment(jnp.array(cost))
             srows, scols = scipy.optimize.linear_sum_assignment(cost)
