@@ -26,6 +26,9 @@ def get_args():
     p.add_argument("--name", type=str, default="cvppp")
     p.add_argument("--start", type=int, default=51000,
                    help="first checkpoint iteration to evaluate")
+    p.add_argument("--out", type=str, default=None,
+                   help="write the sweep as a JSON list of "
+                        "{iter, **metrics} records")
     p.add_argument("--opts", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
 
@@ -49,6 +52,7 @@ def main():
         return
     from pctrans_tpu.parallel import replicate
 
+    records = []
     for path in sweep:
         # restore, then explicitly re-replicate over the mesh: orbax restores
         # with whatever sharding the checkpoint recorded, which may not match
@@ -62,6 +66,14 @@ def main():
         else:
             res = trainer.eval_cvppp(model_name=name)
         print(name, res)
+        records.append({"iter": ckpt.checkpoint_iteration(path),
+                        **{k: float(v) for k, v in res.items()}})
+
+    if args.out:
+        import json
+        with open(args.out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {args.out} ({len(records)} records)")
 
 
 if __name__ == "__main__":
