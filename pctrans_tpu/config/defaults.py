@@ -255,6 +255,11 @@ def get_cfg_defaults() -> CfgNode:
     c.MONITOR.VIS_OPT = [0, 8]
     c.MONITOR.ITERATION_NUM = [20, 200]
     c.MONITOR.PROFILE_ITERS = None   # (start, stop) iteration window for a jax.profiler trace
+    # TensorBoard event stream (torch.utils.tensorboard). The first writer
+    # import drags in tens of seconds of torch/tensorflow machinery on a
+    # small host, so CI-style runs can turn it off; the JSONL stream is the
+    # always-on machine-readable record.
+    c.MONITOR.TENSORBOARD = True
 
     # --------------------------------------------------------------- INFERENCE
     c.INFERENCE = CfgNode()

@@ -121,4 +121,5 @@ def build_monitor(cfg) -> Monitor:
     log_every = cfg.MONITOR.ITERATION_NUM[0] if cfg.MONITOR.ITERATION_NUM else 20
     profile = cfg.MONITOR.get("PROFILE_ITERS", None)
     return Monitor(cfg.DATASET.OUTPUT_PATH, log_every=log_every,
+                   use_tensorboard=bool(cfg.MONITOR.get("TENSORBOARD", True)),
                    profile_iters=tuple(profile) if profile else None)

@@ -14,6 +14,7 @@ def _legacy_cfg(tmp_path, arch="unet_2d", chunk=False):
     cfg.defrost()
     cfg.SYSTEM.NUM_DEVICES = 1
     cfg.SYSTEM.NUM_CPUS = 2
+    cfg.MONITOR.TENSORBOARD = False  # skip the heavy SummaryWriter import in CI
     cfg.MODEL.ARCHITECTURE = arch
     cfg.MODEL.IN_PLANES = 1
     cfg.MODEL.OUT_PLANES = 1

@@ -140,19 +140,29 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
-    def test_sharded_step_on_mesh(self):
-        mesh = create_mesh(8)
+    def test_sharded_step_matches_single_device(self):
+        """One mesh program covers both distributed properties: the 8-way
+        sharded step computes the same loss as the single-device program on
+        the identical batch (the DDP-equivalence guarantee), and parameters
+        come out of the update still fully replicated."""
         cfg, model, tx, state, batch_np = tiny_setup(batch=8, size=32)
         criterion = SetCriterion(CRIT)
+        step = make_train_step(TINY, criterion, tx, max_instances=8)
+        rng = jax.random.key(0)
+
+        _, m_single = jax.jit(step)(
+            state, {k: jnp.asarray(v) for k, v in batch_np.items()}, rng)
+
+        mesh = create_mesh(8)
         with mesh:
-            state = replicate(mesh, state)
+            state_r = replicate(mesh, state)
             batch = shard_batch(mesh, batch_np)
-            step = jax.jit(make_train_step(TINY, criterion, tx, max_instances=8))
-            state, metrics = step(state, batch, jax.random.key(0))
-            loss = float(metrics["loss"])
-        assert np.isfinite(loss)
+            new_state, m_mesh = jax.jit(step)(state_r, batch, rng)
+        assert float(m_single["loss"]) == pytest.approx(
+            float(m_mesh["loss"]), rel=2e-3)
+        assert np.isfinite(float(m_mesh["loss"]))
         # params remain replicated after the update
-        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        leaf = jax.tree_util.tree_leaves(new_state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
     def test_eval_step_top_k_exact_subset(self):
@@ -172,18 +182,3 @@ class TestTrainStep:
             np.asarray(probs_k)[0], np.asarray(probs_all)[0][order], rtol=1e-6, atol=1e-6
         )
 
-    def test_sharded_matches_single_device(self):
-        """The mesh program must compute the same loss as single-device."""
-        cfg, model, tx, state, batch_np = tiny_setup(batch=4, size=32)
-        criterion = SetCriterion(CRIT)
-        step = make_train_step(TINY, criterion, tx, max_instances=8)
-        rng = jax.random.key(0)
-
-        _, m_single = jax.jit(step)(state, {k: jnp.asarray(v) for k, v in batch_np.items()}, rng)
-
-        mesh = create_mesh(4)
-        with mesh:
-            state_r = replicate(mesh, state)
-            batch = shard_batch(mesh, batch_np)
-            _, m_mesh = jax.jit(step)(state_r, batch, rng)
-        assert float(m_single["loss"]) == pytest.approx(float(m_mesh["loss"]), rel=2e-3)

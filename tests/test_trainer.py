@@ -44,6 +44,9 @@ def tiny_cfg(tmp_path):
     cfg.SOLVER.ITERATION_VAL = 2
     cfg.SOLVER.SAMPLES_PER_BATCH = 1
     cfg.MONITOR.ITERATION_NUM = [1, 200]
+    # the first SummaryWriter import costs ~30+ s of torch/TF machinery on
+    # this 1-CPU host; the JSONL stream is what the assertions read anyway
+    cfg.MONITOR.TENSORBOARD = False
     return cfg
 
 

@@ -38,7 +38,24 @@ def time_stage(label, fn, *inputs):
     t0 = time.perf_counter()
     float(loop(jnp.float32(0.0)))
     dt = (time.perf_counter() - t0 - RT) / N
-    print(f"{label}: {dt*1000:.1f} ms", flush=True)
+
+    # Roofline coordinates: XLA's own cost model for the single-call program
+    # (flops, HBM bytes). Pallas custom calls report 0 flops — stages using
+    # them carry an analytic correction upstream in bench.py; here the raw
+    # number is still the right *bandwidth* coordinate.
+    flops = bytes_ = float("nan")
+    try:
+        ca = jax.jit(fn).lower(jnp.float32(0.0), *inputs).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = ca.get("flops", float("nan"))
+        bytes_ = ca.get("bytes accessed", float("nan"))
+    except Exception as e:  # cost analysis is best-effort
+        print(f"  (cost_analysis unavailable: {e})", flush=True)
+    tf = flops / dt / 1e12
+    gbps = bytes_ / dt / 1e9
+    print(f"{label}: {dt*1000:.1f} ms | {flops/1e9:.1f} GFLOP "
+          f"-> {tf:.1f} TFLOP/s | {bytes_/1e9:.2f} GB -> {gbps:.0f} GB/s",
+          flush=True)
     return dt
 
 
