@@ -74,6 +74,23 @@ def main():
     for name, d in top:
         print(f"  {d/3:>10.0f}  x{cnt[name]//3:<5} {name[:110]}")
 
+    # aggregate by op-name family so the long tail is visible
+    import re
+    fam_dur = defaultdict(float)
+    fam_cnt = defaultdict(int)
+    for name, d in dur.items():
+        if "jit_eval_step" in name:
+            continue
+        fam = re.sub(r"[.\d]+$", "", name)
+        fam_dur[fam] += d
+        fam_cnt[fam] += cnt[name]
+    print("\nby family (us/step):")
+    total = 0.0
+    for fam, d in sorted(fam_dur.items(), key=lambda kv: -kv[1])[:25]:
+        total += d
+        print(f"  {d/3:>10.0f}  x{fam_cnt[fam]//3:<5} {fam[:90]}")
+    print(f"  families total: {total/3:.0f} us/step")
+
 
 if __name__ == "__main__":
     main()
