@@ -147,6 +147,9 @@ def get_cfg_defaults() -> CfgNode:
     # backward pass (HBM for FLOPs).  True fits any shape in 16G v5e HBM;
     # False saves the recompute when the batch fits (see ModelConfig.remat).
     mf.TPU_RECIPE.REMAT = True
+    # "full" recomputes everything; "dots" saves matmul/conv outputs and
+    # recomputes only elementwise chains (models/layers.remat_policy)
+    mf.TPU_RECIPE.REMAT_POLICY = "full"
     mf.TEST = CfgNode()
     mf.TEST.SEMANTIC_ON = False
     mf.TEST.INSTANCE_ON = True

@@ -16,6 +16,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def remat_policy(name: str):
+    """Map a TPU_RECIPE.REMAT_POLICY string to a jax.checkpoint policy.
+
+    * "full": recompute everything in the backward pass (policy None) —
+      minimum HBM, maximum recompute; the safe default that fits the 448²
+      batch-2 recipe in 16 GB.
+    * "dots": ``jax.checkpoint_policies.dots_saveable`` — matmul/conv
+      outputs are stored, only elementwise chains (LayerNorm, softmax,
+      residuals, bias/activation epilogues) are recomputed.  Costs HBM
+      between "full" and no-remat; see BASELINE.md's train breakdown for
+      the measured trade.
+    """
+    if name in (None, "", "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    raise ValueError(f"Unknown REMAT_POLICY: {name!r} (expected full|dots)")
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with all statistics and affine parameters frozen.
 

@@ -73,6 +73,10 @@ class ModelConfig:
     # Rematerialize encoder/decoder layers in the backward pass (HBM for
     # FLOPs: without it the 448^2 batch-2 train step needs ~18G of 16G HBM).
     remat: bool = True
+    # What the remat saves: "full" recomputes everything, "dots" keeps
+    # matmul/conv outputs and recomputes only elementwise chains
+    # (layers.remat_policy).
+    remat_policy: str = "full"
     # Mixed precision (the reference trains under AMP, engine/trainer.py:140):
     # "bfloat16" runs matmuls/convs on the MXU at bf16 with f32 params, f32
     # norms/softmax and f32 outputs.  bf16's exponent range matches f32, so
@@ -123,6 +127,7 @@ def build_model_config(cfg) -> ModelConfig:
         dtype="bfloat16" if cfg.MODEL.MIXED_PRECESION else "float32",
         upsample2x=cfg.MODEL.MASK_FORMER.TPU_RECIPE.UPSAMPLE2X,
         remat=bool(cfg.MODEL.MASK_FORMER.TPU_RECIPE.get("REMAT", True)),
+        remat_policy=str(cfg.MODEL.MASK_FORMER.TPU_RECIPE.get("REMAT_POLICY", "full")),
         **swin_kwargs,
     )
 
@@ -200,6 +205,7 @@ class PCTransModel(nn.Module):
                 axis_name=self.axis_name,
                 dtype=dtype,
                 remat=c.remat,
+                remat_policy=c.remat_policy,
                 name="pixel_decoder",
             )(feats)
         else:
@@ -268,6 +274,7 @@ class PCTransModel(nn.Module):
             axis_name=self.axis_name,
             dtype=dtype,
             remat=c.remat,
+            remat_policy=c.remat_policy,
             name="predictor",
         )(multi_scale, mask_features)
 

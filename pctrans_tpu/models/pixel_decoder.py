@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..ops.msdeform import ms_deform_attn
 from ..ops.resize import resize_bilinear
-from .layers import ConvNorm, position_embedding_sine
+from .layers import ConvNorm, position_embedding_sine, remat_policy
 
 _XAVIER = nn.initializers.xavier_uniform()
 
@@ -168,6 +168,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"  # layers.remat_policy: full | dots
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
@@ -211,7 +212,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # remat: recompute each encoder layer in the backward pass instead of
         # storing its activations (HBM for FLOPs; spatial_shapes is static)
         layer_cls = (
-            nn.remat(MSDeformAttnEncoderLayer, static_argnums=(4,))
+            nn.remat(MSDeformAttnEncoderLayer, static_argnums=(4,),
+                     policy=remat_policy(self.remat_policy))
             if self.remat else MSDeformAttnEncoderLayer
         )
         y = src_flat

@@ -45,6 +45,7 @@ from .layers import (
     gen_sineembed_for_position,
     inverse_sigmoid,
     position_embedding_sine,
+    remat_policy,
 )
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -195,6 +196,7 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"  # layers.remat_policy: full | dots
 
     def setup(self):
         d = self.hidden_dim
@@ -203,10 +205,13 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
         self.level_embed = self.param("level_embed", nn.initializers.normal(1.0), (self.num_feature_levels, d))
 
         # remat: recompute attention/FFN layers in the backward pass
-        cross_cls = (nn.remat(CrossAttentionLayer, static_argnums=(7,))
+        pol = remat_policy(self.remat_policy)
+        cross_cls = (nn.remat(CrossAttentionLayer, static_argnums=(7,), policy=pol)
                      if self.remat else CrossAttentionLayer)
-        self_cls = nn.remat(SelfAttentionLayer) if self.remat else SelfAttentionLayer
-        ffn_cls = nn.remat(FFNLayer) if self.remat else FFNLayer
+        self_cls = (nn.remat(SelfAttentionLayer, policy=pol)
+                    if self.remat else SelfAttentionLayer)
+        ffn_cls = (nn.remat(FFNLayer, policy=pol)
+                   if self.remat else FFNLayer)
 
         self.cross_layers = [
             cross_cls(d, self.nheads, self.points_num, dtype=self.dtype,

@@ -240,3 +240,38 @@ class TestComponentRegistry:
         with pytest.raises(ValueError, match="transformer decoder"):
             jax.eval_shape(PCTransModel(config=bad_dec, train=False).init,
                            jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+
+    def test_remat_policy_selection(self):
+        """REMAT_POLICY plumbs config -> ModelConfig; dots-saveable remat
+        gradients match full-remat gradients bit-for-bit on a decoder FFN
+        layer (a remat policy must never change the math, only what is
+        stored vs recomputed)."""
+        from flax import linen as nn
+
+        from pctrans_tpu.config import get_cfg_defaults
+        from pctrans_tpu.models.layers import remat_policy
+        from pctrans_tpu.models.pctrans import build_model_config
+        from pctrans_tpu.models.transformer_decoder import FFNLayer
+
+        assert remat_policy("full") is None
+        assert remat_policy("dots") is jax.checkpoint_policies.dots_saveable
+        with pytest.raises(ValueError, match="REMAT_POLICY"):
+            remat_policy("everything")
+
+        cfg = get_cfg_defaults()
+        cfg.MODEL.MASK_FORMER.TPU_RECIPE.REMAT_POLICY = "dots"
+        assert build_model_config(cfg).remat_policy == "dots"
+
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 10, 32), jnp.float32)
+        grads = []
+        for pol in ("full", "dots"):
+            layer = nn.remat(FFNLayer, policy=remat_policy(pol))(
+                d_model=32, dim_feedforward=64)
+            v = layer.init(jax.random.key(0), x)
+
+            def loss(p, layer=layer):
+                return layer.apply({"params": p}, x).sum()
+
+            grads.append(jax.jit(jax.grad(loss))(v["params"]))
+        for ga, gb in zip(*(jax.tree_util.tree_leaves(g) for g in grads)):
+            np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
