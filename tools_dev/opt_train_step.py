@@ -64,8 +64,8 @@ def main():
         "label": jax.device_put(jnp.asarray(np.stack([it["label"] for it in items]))),
     }
 
-    def build(remat):
-        config = ModelConfig(dtype="bfloat16", remat=remat)
+    def build(remat, policy="full"):
+        config = ModelConfig(dtype="bfloat16", remat=remat, remat_policy=policy)
         model = PCTransModel(config=config, train=True)
         variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, S, S, 3)))
         tx = build_optimizer(cfg, variables["params"])
@@ -99,6 +99,14 @@ def main():
         st2, m = step0(st, {"image": img + c * 0, "label": lab}, rng)
         return (m["loss"] + consume_state(st2)) * 1e-30 + c
     chain_time("full(noremat)", full0, state0, batch["image"], batch["label"])
+
+    configd, modeld, txd, stated = build(remat=True, policy="dots")
+    stepd = make_train_step(configd, criterion, txd, max_instances=40)
+
+    def fulld(c, st, img, lab):
+        st2, m = stepd(st, {"image": img + c * 0, "label": lab}, rng)
+        return (m["loss"] + consume_state(st2)) * 1e-30 + c
+    chain_time("full(dots)", fulld, stated, batch["image"], batch["label"])
 
     # ---- model-only fwd+bwd (dummy loss touching every output) ----------
     targets = jax.device_put(
