@@ -23,7 +23,9 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: this box has a single CPU, so re-compiling
 # the model stack on every test run dominates wall-clock without it.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# cache every compile, however small: the suite runs hundreds of sub-second
+# XLA CPU compiles whose sum is tens of seconds on this single-CPU host
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402

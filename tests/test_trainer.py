@@ -154,32 +154,25 @@ class TestTrainerLoop:
         assert eval_recs, lines
         assert {"AJI", "PQ", "F1"} <= set(eval_recs[-1]["eval"])
 
-    def test_tta_wiring(self, tmp_path):
-        cfg = tiny_cfg(tmp_path)
-        cfg.INFERENCE.AUG_MODE = "mean"
-        cfg.INFERENCE.AUG_NUM = 4
-        cfg.freeze()
-        trainer = Trainer(cfg, mode="test")
-        assert trainer.tta is not None
-        imgs = np.random.RandomState(0).randn(1, 32, 32, 3).astype(np.float32)
-        probs = trainer.predict_probs(imgs)
-        assert probs.shape[0] == 1 and probs.shape[-2:] == (32, 32)
-        assert np.isfinite(probs).all()
-
-    def test_tta_top_k_uses_full_queries(self, tmp_path):
-        """The TTA ensemble runs every member full-Q whenever TOP_K would
-        filter: each flipped variant reorders queries by its own peak
-        scores, so slot k of the member stacks holds different queries and
-        a top-K blend would average unrelated masks."""
+    def test_tta_wiring_and_full_queries(self, tmp_path):
+        """TTA wiring + the full-Q guarantee, on one Trainer (one model
+        init / one eval program set).  The TTA ensemble must run every
+        member full-Q whenever TOP_K would filter: each flipped variant
+        reorders queries by its own peak scores, so slot k of the member
+        stacks holds different queries and a top-K blend would average
+        unrelated masks."""
         cfg = tiny_cfg(tmp_path)  # TOP_K = 4 of 10 queries
         cfg.INFERENCE.AUG_MODE = "mean"
         cfg.INFERENCE.AUG_NUM = 4
         cfg.freeze()
         trainer = Trainer(cfg, mode="test")
+        assert trainer.tta is not None
         imgs = np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32)
-        probs = trainer.predict_probs(imgs, threshold=1e-4)
-        assert probs.shape[1] == cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
         probs = trainer.predict_probs(imgs)  # no threshold: still full-Q
+        assert probs.shape[0] == 1 and probs.shape[-2:] == (32, 32)
+        assert np.isfinite(probs).all()
+        assert probs.shape[1] == cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
+        probs = trainer.predict_probs(imgs, threshold=1e-4)
         assert probs.shape[1] == cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES
 
 
