@@ -168,6 +168,9 @@ def get_cfg_defaults() -> CfgNode:
     c.DATASET.LABEL_NAME = ""
     c.DATASET.VAL_IMAGE_NAME = None
     c.DATASET.VAL_LABEL_NAME = None
+    # instance ids can exceed 32767: transfer labels as int32 instead of
+    # int16 (static per run — see engine/trainer.py label_dtype note)
+    c.DATASET.WIDE_LABELS = False
     c.DATASET.DO_2D = True
     c.DATASET.IS_ISOTROPIC = False   # legacy-zoo kernel/stride isotropy
     c.DATASET.REDUCE_LABEL = True

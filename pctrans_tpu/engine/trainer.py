@@ -187,9 +187,22 @@ class Trainer:
                          else np.float32)
             # int16 wraps negative above 32767 — corrupt targets, silently
             # (the PrefetchLoader truncation warning inspects the pre-cast
-            # batch, so it would not catch this); widen rather than wrap
-            label_dtype = (np.int16 if batch_np["label"].max() < 2 ** 15
-                           else np.int32)
+            # batch, so it would not catch this).  The dtype must be STATIC
+            # per run, not per batch: a data-dependent choice would (a) pick
+            # different dtypes on different hosts of a multi-process run —
+            # each process then traces a different train-step program, a
+            # cross-host executable mismatch that hangs collectives — and
+            # (b) trigger a silent mid-run recompile on the first wide
+            # batch.  Default int16; DATASET.WIDE_LABELS selects int32, and
+            # an overflowing batch under int16 fails loudly here instead.
+            label_dtype = (np.int32 if cfg.DATASET.get("WIDE_LABELS", False)
+                           else np.int16)
+            if label_dtype == np.int16 and batch_np["label"].max() >= 2 ** 15:
+                raise ValueError(
+                    "instance id >= 32768 with int16 label transfer; set "
+                    "DATASET.WIDE_LABELS True (static int32 labels) — the "
+                    "dtype cannot switch per batch without breaking the "
+                    "multi-host SPMD program contract")
             batch = shard_batch(self.mesh, {
                 "image": batch_np["image"].astype(img_dtype),
                 "label": batch_np["label"].astype(label_dtype),

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.render_pallas import dynamic_mask_render
+from ..ops.render_pallas import dynamic_mask_render, render_reference
 from ..ops.resize import resize_bilinear
 from .layers import (
     MLP,
@@ -415,42 +415,28 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
                 render = jax.checkpoint(render)
             mask_logits = render(feats, inst_xy, w1, w2, w3, b1, b2, b3)
         else:
-            locations = compute_locations(Hm, Wm, stride, jnp.float32)
-            rel = inst_xy[:, :, None, :] - locations[None, None, :, :]
-
-            def render(feats, rel, w1, w2, w3, b1, b2, b3):
-                if self.rel_coord:
-                    # input channel order: [rel_coords(2), mask_feats(Cm)]
-                    # (reference :672).  The rel contribution runs f32
-                    # (coordinates), the feature contribution in the compute
-                    # dtype; the sum is cast back down so the [B, Q, ch, HW]
-                    # tensors — the largest in the decoder — stay in the
-                    # compute dtype.
-                    x = (
-                        jnp.einsum("bqso,bqco->bqcs", rel, w1[..., :2].astype(jnp.float32))
-                        + jnp.einsum("bso,bqco->bqcs", feats, w1[..., 2:].astype(dtype))
-                        + b1[..., None]
-                    ).astype(dtype)
-                else:
-                    x = (jnp.einsum("bso,bqco->bqcs", feats, w1.astype(dtype))
-                         + b1[..., None]).astype(dtype)
-                x = nn.relu(x)
-                # conv layers 2+3 as batched einsums.  (A hand-unrolled
-                # "fused elementwise" XLA variant — 64 broadcast-multiply
-                # terms — was tried to save the two [B, Q, ch, HW] HBM round
-                # trips, but measured 115.6 ms vs 75.7 ms for the whole eval
-                # step on v5e: XLA schedules the unrolled DAG as many small
-                # fusions that re-read x.  The Pallas path above is that
-                # fusion done properly, in VMEM.)
-                x = nn.relu(jnp.einsum("bqos,bqco->bqcs", x, w2.astype(dtype))
-                            + b2[..., None].astype(dtype))
-                x = (jnp.einsum("bqos,bqco->bqcs", x, w3.astype(dtype))
-                     + b3[..., None].astype(dtype))
-                return x.reshape(B, Q, Hm, Wm).astype(jnp.float32)
+            # Batched-einsum formulation: ops/render_pallas.render_reference
+            # IS this math (it is also the Pallas kernel's VJP fallback and
+            # the bench gate's oracle — one definition keeps all three in
+            # lockstep).  Input channel order [rel_coords(2), mask_feats(Cm)]
+            # (reference :672); the rel contribution runs f32 (coordinates),
+            # features in the compute dtype.  (A hand-unrolled "fused
+            # elementwise" XLA variant — 64 broadcast-multiply terms — was
+            # tried to save the two [B, Q, ch, HW] HBM round trips, but
+            # measured 115.6 vs 75.7 ms for the whole eval step on v5e: XLA
+            # schedules the unrolled DAG as many small fusions that re-read
+            # x.  The Pallas path above is that fusion done properly, in
+            # VMEM.)
+            def render(feats, inst_xy, w1, w2, w3, b1, b2, b3):
+                out = render_reference(
+                    feats, inst_xy, w1, w2, w3, b1, b2, b3,
+                    hw=(Hm, Wm), stride=stride, rel_coord=self.rel_coord,
+                    dtype=dtype)
+                return out.reshape(B, Q, Hm, Wm)
 
             if self.remat:  # the [B, Q, ch, HW] tensors dominate memory
                 render = jax.checkpoint(render)
-            mask_logits = render(feats, rel, w1, w2, w3, b1, b2, b3)
+            mask_logits = render(feats, inst_xy, w1, w2, w3, b1, b2, b3)
 
         # attention mask for the next layer
         attn = resize_bilinear(mask_logits, attn_size)            # [B, Q, h, w]

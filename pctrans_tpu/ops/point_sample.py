@@ -299,8 +299,7 @@ def sample_label_onehot(seg: jnp.ndarray, point_coords: jnp.ndarray,
     Returns [B, num_ids, P] float32, bit-equal to
     ``point_sample(onehot_masks, point_coords)``.
     """
-    B, H, W = seg.shape
-    P = point_coords.shape[1]
+    H, W = seg.shape[1:]
     x = point_coords[..., 0] * W - 0.5
     y = point_coords[..., 1] * H - 0.5
     return _label_onehot_at(seg, x, y, num_ids)

@@ -124,9 +124,13 @@ with mesh:
     # serialization (jax.experimental.serialize_executable round-trips
     # fail at execution on this host: AOT machine-feature mismatch).
     from jax._src import cache_key as _ck
-    _ck._hash_accelerator_config = (
-        lambda hash_obj, accelerators: _ck._hash_devices(hash_obj,
-                                                         accelerators))
+    if hasattr(_ck, "_hash_accelerator_config") and hasattr(_ck, "_hash_devices"):
+        # private jax API (observed stable through jax 0.9): if a jax
+        # upgrade renames these, fall through to per-rank cache keys — the
+        # test still passes, it just re-pays rank-1's ~35 s compile
+        _ck._hash_accelerator_config = (
+            lambda hash_obj, accelerators: _ck._hash_devices(hash_obj,
+                                                             accelerators))
     if rank == 0:
         compiled = step.lower(state_r, batch, key0).compile()
         client.wait_at_barrier("pctrans_mh_compiled", 900_000)
