@@ -173,7 +173,15 @@ def kernel_check() -> str:
     locs = jnp.asarray(rng.rand(B, Lq, M, len(shapes), P, 2), jnp.float32)
     w = jnp.asarray(rng.rand(B, Lq, M, len(shapes), P), jnp.float32)
     w = w / w.sum(axis=(-2, -1), keepdims=True)
-    # shapes is a static (python) argument: close over it, don't trace it
+    # shapes is a static (python) argument: close over it, don't trace it.
+    # Tolerance note: on TPU both paths quantize matmul operands to bf16 —
+    # XLA at its default dot precision, the kernel when it casts the hat
+    # matrix to the value dtype — but at DIFFERENT points, so they agree
+    # only to bf16 granularity (~5e-3 relative; measured 2.2e-3 msdeform,
+    # 6.9e-3 render on v5e).  The gate's job is catching Mosaic lowering
+    # regressions, which produce order-1 errors, so it asserts rel < 1e-2;
+    # bit-level semantics are covered by the CPU interpret-mode oracles
+    # (tests/test_ops.py).
     ref = np.asarray(jax.jit(
         lambda v, l, a: ms_deform_attn(v, shapes, l, a, impl="matmul")
     )(value, locs, w))
@@ -182,9 +190,32 @@ def kernel_check() -> str:
     )(value, locs, w))
     err = float(np.max(np.abs(out - ref)))
     scale = float(np.max(np.abs(ref))) or 1.0
-    if err / scale < 2e-3:
-        return "ok (pallas2 vs matmul maxerr=%.2e)" % err
-    return "FAIL (pallas2 vs matmul maxerr=%.2e rel=%.2e)" % (err, err / scale)
+    msda = ("ok" if err / scale < 1e-2 else "FAIL") \
+        + " (pallas2 vs matmul maxerr=%.2e rel=%.2e)" % (err, err / scale)
+
+    # The timed eval path also runs the Pallas dynamic-mask render kernel —
+    # gate it against the einsum reference too (fast-wrong coverage must
+    # match what is actually timed).
+    _status("kernel_check: compiling render kernel + einsum reference")
+    from pctrans_tpu.ops.render_pallas import (dynamic_mask_render,
+                                               render_reference)
+
+    Bq, Q, ch, Cm, Hm, Wm = 2, 20, 8, 16, 33, 31
+    t = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    feats = t(Bq, Hm * Wm, Cm)
+    inst = jnp.asarray((rng.rand(Bq, Q, 2) * [Wm * 4, Hm * 4]).astype(np.float32))
+    a = (feats, inst, t(Bq, Q, ch, Cm + 2), t(Bq, Q, ch, ch),
+         t(Bq, Q, 1, ch), t(Bq, Q, ch), t(Bq, Q, ch), t(Bq, Q, 1))
+    out_k = np.asarray(jax.jit(
+        lambda *a: dynamic_mask_render(*a, (Hm, Wm), 4))(*a))
+    out_r = np.asarray(jax.jit(
+        lambda *a: render_reference(*a, hw=(Hm, Wm), stride=4,
+                                    dtype=jnp.float32))(*a))
+    rerr = float(np.max(np.abs(out_k - out_r)))
+    rscale = float(np.max(np.abs(out_r))) or 1.0
+    render = ("ok" if rerr / rscale < 1e-2 else "FAIL") \
+        + " (render vs einsum maxerr=%.2e rel=%.2e)" % (rerr, rerr / rscale)
+    return "msdeform: %s; render: %s" % (msda, render)
 
 
 def _make_state_and_eval(num_queries: int, top_k, dtype: str):
@@ -332,6 +363,12 @@ def main():
         out["kernel_check"] = kernel_check()
     except Exception as e:
         out["kernel_check"] = "ERROR: %s" % str(e)[-200:]
+    if "FAIL" in out["kernel_check"]:
+        # fast-wrong guard: never publish a throughput number computed by a
+        # kernel that disagrees with its reference on this device
+        out.update(error="kernel-check")
+        _emit(out)
+        sys.exit(3)
 
     try:
         img_per_sec, flops_per_img = bench_inference(B=10, H=530, W=500,
