@@ -81,11 +81,46 @@ def _emit(obj) -> None:
 def _status(msg: str) -> None:
     """Phase progress to stderr (stdout stays one JSON line) with wall time,
     so a stalled capture shows WHERE it stalled, not just that it did."""
+    global _PHASE
+    _PHASE = msg
     print("[bench %7.1fs] %s" % (time.perf_counter() - _T0, msg),
           file=sys.stderr, flush=True)
 
 
 _T0 = time.perf_counter()
+_PHASE = "startup"
+
+# A wedged relay can hang ANY device call mid-run — after the probe already
+# succeeded (observed 2026-08-19: kernel_check's first execution blocked
+# >9 min while small ops from a fresh process ran fine).  Python cannot
+# interrupt the hung C call, but it CAN still report: a daemon watchdog
+# emits one structured JSON line with whatever partial results exist
+# (error="deadline" + the phase it was in) and exits hard, so the driver
+# records a machine-readable artifact instead of an empty rc=124.  The
+# default sits just under the driver's ~10 min kill; a healthy-but-slow
+# capture (relay throughput varies ~2x run to run; a full clean capture
+# measured 320-530 s) loses only the phases it hadn't reached.
+BENCH_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 570))
+
+
+_WATCHDOG_DISARM = None
+
+
+def _start_watchdog(out: dict) -> None:
+    import threading
+
+    global _WATCHDOG_DISARM
+    _WATCHDOG_DISARM = done = threading.Event()
+
+    def _fire():
+        if done.wait(max(BENCH_DEADLINE_S - (time.perf_counter() - _T0), 0)):
+            return
+        out.update(error="deadline", partial=True, last_phase=_PHASE,
+                   deadline_s=BENCH_DEADLINE_S)
+        _emit(out)
+        os._exit(4)
+
+    threading.Thread(target=_fire, daemon=True).start()
 
 
 def _setup_jax() -> None:
@@ -357,6 +392,7 @@ def main():
         sys.exit(1)
     out["backend"] = detail
     _status("backend up: %s" % detail)
+    _start_watchdog(out)
     _setup_jax()
 
     try:
@@ -412,6 +448,7 @@ def main():
     except Exception as e:
         out["train_error"] = str(e)[-300:]
 
+    _WATCHDOG_DISARM.set()
     _emit(out)
 
 
