@@ -328,11 +328,14 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
     _status("train bench: init model + optimizer")
     B, S = 2, 448
     cfg = get_cfg_defaults()
-    # BENCH_TRAIN_REMAT=0 measures the no-remat step (skips the bwd-pass
-    # recompute of all decoder layers + mask renders; only valid when the
-    # batch fits HBM — the perf-tuning lever named in round-2 VERDICT #2)
+    # Default matches the shipped CVPPP recipe: TPU_RECIPE.REMAT False.
+    # Measured compiled memory at this shape (448^2, batch 2, v5e 16 GB):
+    # no-remat peaks at 2.06 GB temp vs 1.00 GB with remat — the recompute
+    # buys nothing here and costs ~14% step time, so the recipe (and this
+    # bench) skip it.  BENCH_TRAIN_REMAT=1 measures the remat step (the
+    # safe-for-any-shape configuration, defaults.py TPU_RECIPE.REMAT).
     config = ModelConfig(dtype=dtype,
-                         remat=os.environ.get("BENCH_TRAIN_REMAT", "1") != "0")
+                         remat=os.environ.get("BENCH_TRAIN_REMAT", "0") != "0")
     criterion = SetCriterion(CriterionConfig())
     model = PCTransModel(config=config, train=True)
     variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, S, S, 3)))
