@@ -51,3 +51,17 @@ class TestReferenceYamls:
                        opts=["MODEL.MASK_FORMER.NUM_OBJECT_QUERIES", "64"],
                        freeze=True)
         assert cfg.MODEL.MASK_FORMER.NUM_OBJECT_QUERIES == 64
+
+    @pytest.mark.parametrize("name", ["CVPPP", "BBBC"])
+    def test_recipe_yaml_disables_remat(self, name):
+        """The shipped recipes train no-remat (memory-analysis-backed:
+        2.06/5.44 GB of 16 GB HBM at recipe shapes — BASELINE.md), and the
+        value must reach ModelConfig as a real bool, not a YAML string."""
+        from pctrans_tpu.models.pctrans import build_model_config
+
+        cfg = load_cfg(f"configs/{name}/{name}-PCTrans-Base.yaml",
+                       f"configs/{name}/{name}-PCTrans.yaml")
+        mc = build_model_config(cfg)
+        assert mc.remat is False
+        # the global default stays the safe-for-any-shape setting
+        assert build_model_config(get_cfg_defaults()).remat is True

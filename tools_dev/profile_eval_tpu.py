@@ -23,8 +23,14 @@ TRACE_DIR = "/tmp/eval_trace"
 
 
 def main():
-    B, H, W = 10, 530, 500
-    config = ModelConfig(dtype="bfloat16")
+    # default: CVPPP protocol; "bbbc" arg switches to the BBBC protocol
+    # (520x696, batch 2, 300 queries, full-Q upsample — bench.py's second
+    # metric)
+    if len(sys.argv) > 1 and sys.argv[1] == "bbbc":
+        B, H, W, Q, top_k = 2, 520, 696, 300, None
+    else:
+        B, H, W, Q, top_k = 10, 530, 500, 100, 50
+    config = ModelConfig(dtype="bfloat16", num_queries=Q)
     model = PCTransModel(config=config, train=False)
     x = jax.device_put(jnp.asarray(
         np.random.RandomState(0).randn(B, H, W, 3), jnp.float32))
@@ -34,7 +40,7 @@ def main():
                        frozen=variables.get("frozen", {}),
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=None)
-    step = jax.jit(make_eval_step(config, top_k=50))
+    step = jax.jit(make_eval_step(config, top_k=top_k))
 
     probs, peaks = step(state, x)
     float(peaks.ravel()[0])
