@@ -74,9 +74,12 @@ def ms_deform_attn(
         # hat-matmul is the fallback for CPU and any non-TPU backend.
         impl = "pallas2" if jax.default_backend() == "tpu" else "matmul"
     elif impl == "auto_train":
-        # under AD the hat-matmul's fused fwd+bwd still wins end-to-end
-        # (2.28 vs 2.47 ms/layer at the train shapes)
-        impl = "matmul"
+        # pallas2 now ships its own separable backward kernel
+        # (msdeform_pallas2._backward): fwd+bwd 2.4 vs 5.0 ms/layer at the
+        # train shapes (tools_dev/bench_msda.py, all three grads fetched —
+        # the earlier 2.28 ms hat-matmul figure was XLA DCE-ing d_locs and
+        # d_attn).  Hat-matmul stays the non-TPU fallback.
+        impl = "pallas2" if jax.default_backend() == "tpu" else "matmul"
     if impl == "pallas":
         from .msdeform_pallas import ms_deform_attn_core_pallas
 

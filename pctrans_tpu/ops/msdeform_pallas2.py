@@ -27,9 +27,26 @@ Grid is one step per (batch*head): the level's value map stays VMEM-
 resident, per-chunk work comes from an in-kernel fori_loop, and all DMAs
 are >= 90 KB.  Levels run as separate pallas_calls and their outputs sum.
 
-The backward pass re-derives gradients through the pure-JAX separable
-formulation (deterministic matmul adjoints, unlike the reference's
-atomicAdd col2im backward).
+The backward runs as a second Pallas kernel with the same layout (one
+grid step per batch*head, value map and all intermediates VMEM-resident):
+
+  recompute t  (MXU):  t[(h,d), n] = sum_w V[(h,d), w] * hat_x[w, n]
+  d_attn (VPU):        r[h, n] = sum_d g[d, n] * t[(h,d), n]
+                       dw[n]   = sum_h hy[h, n] * r[h, n]
+  d_y    (VPU):        dy[n]   = w[n] * sum_h hy'[h, n] * r[h, n]
+  u      (VPU):        u[(h,d), n] = g[d, n] * hy[h, n] * w[n]
+  d_x    (MXU+VPU):    s[w, n] = sum_{hd} V[(h,d), w] * u[(h,d), n]
+                       dx[n]   = sum_w hat_x'[w, n] * s[w, n]
+  d_value (MXU):       dV[(h,d), w] += sum_n u[(h,d), n] * hat_x[w, n]
+
+(hat' = sign(s - p) on the hat's support — the exact a.e. derivative of
+relu(1 - |s - p|), matching JAX's AD of the XLA formulations.)  Unlike the
+XLA hat-matmul adjoint — whose fused generator does H*W VPU work per
+sample and re-does it in the backward — every stage here is separable
+(H + W work per sample), so fwd+bwd measured 2.4 ms/encoder-layer at the
+448^2 train shape vs 5.0 ms for the hat-matmul under AD
+(tools_dev/bench_msda.py, all three grads fetched).  Deterministic, unlike
+the reference's atomicAdd col2im backward.
 """
 
 from __future__ import annotations
@@ -80,6 +97,154 @@ def _level_kernel(x_ref, y_ref, w_ref, v_ref, o_ref, *, H: int, W: int,
         return carry
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, None)
+
+
+def _level_bwd_kernel(x_ref, y_ref, w_ref, g_ref, v_ref,
+                      dv_ref, dx_ref, dy_ref, dw_ref, *, H: int, W: int,
+                      P: int, D: int, N: int, n_chunks: int):
+    """Backward of one (batch*head) slab of one level.
+
+    x/y/w: [1, P, n_chunks, N] f32;  g: [1, n_chunks, D, N] f32 cotangent;
+    v:     [1, H*D, W] value map (compute dtype)
+    dv:    [1, H*D, W] f32;  dx/dy/dw: [1, P, n_chunks, N] f32.
+    """
+    v = v_ref[0]                                          # [H*D, W]
+
+    def chunk_body(qc, dv_acc):
+        g = g_ref[0, qc]                                  # [D, N]
+        for p in range(P):  # static unroll; P is 4
+            x = x_ref[0, p, qc, :]                        # [N]
+            y = y_ref[0, p, qc, :]
+            w = w_ref[0, p, qc, :]
+            sx = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0).astype(
+                jnp.float32)
+            hx = jax.nn.relu(1.0 - jnp.abs(sx - x[None, :]))      # [W, N]
+            # a.e. derivative of relu(1 - |sx - x|) wrt x: sign(sx - x)
+            # on the open support (JAX AD: relu'(0) = 0, sign(0) = 0)
+            hxd = jnp.where(hx > 0, jnp.sign(sx - x[None, :]), 0.0)
+            sy = jax.lax.broadcasted_iota(jnp.int32, (H, N), 0).astype(
+                jnp.float32)
+            hy = jax.nn.relu(1.0 - jnp.abs(sy - y[None, :]))      # [H, N]
+            hyd = jnp.where(hy > 0, jnp.sign(sy - y[None, :]), 0.0)
+
+            # recompute stage-1: t[(h,d), n]
+            t = jax.lax.dot_general(
+                v, hx.astype(v.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(H, D, N)
+            r = (t * g[None, :, :]).sum(axis=1)           # [H, N]
+            dw_ref[0, p, qc, :] = (hy * r).sum(axis=0)
+            dy_ref[0, p, qc, :] = w * (hyd * r).sum(axis=0)
+
+            # u[(h,d), n] = g[d,n] * hy[h,n] * w[n]
+            u = (g[None, :, :] * (hy * w[None, :])[:, None, :]).reshape(
+                H * D, N)
+            s = jax.lax.dot_general(                      # [W, N]
+                v, u.astype(v.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dx_ref[0, p, qc, :] = (hxd * s).sum(axis=0)
+            dv_acc = dv_acc + jax.lax.dot_general(        # [H*D, W]
+                u.astype(v.dtype), hx.astype(v.dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return dv_acc
+
+    dv_ref[0] = jax.lax.fori_loop(
+        0, n_chunks, chunk_body, jnp.zeros((H * D, W), jnp.float32))
+
+
+def _backward(value, spatial_shapes, sampling_locations, attention_weights,
+              g, chunk: int):
+    """Pallas backward: returns (d_value, d_locations, d_weights) with the
+    primals' dtypes.  Same per-level layout as :func:`_forward`."""
+    B, S, M, D = value.shape
+    _, Lq, _, L, P, _ = sampling_locations.shape
+    assert L == len(spatial_shapes)
+    assert S == sum(h * w for h, w in spatial_shapes)
+
+    N = max(128, min(chunk, -(-Lq // 128) * 128))
+    n_chunks = -(-Lq // N)
+    Lp = n_chunks * N
+    pad_q = Lp - Lq
+
+    locs = sampling_locations.astype(jnp.float32)
+    wts = attention_weights.astype(jnp.float32)
+    gq = g.astype(jnp.float32).reshape(B, Lq, M, D)
+    if pad_q:
+        locs = jnp.pad(locs, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0),
+                              (0, 0)))
+        wts = jnp.pad(wts, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0)))
+        gq = jnp.pad(gq, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+    locs = jnp.transpose(locs, (3, 0, 2, 4, 1, 5)).reshape(
+        L, B * M, P, n_chunks, N, 2)
+    wts = jnp.transpose(wts, (3, 0, 2, 4, 1)).reshape(
+        L, B * M, P, n_chunks, N)
+    # [B, Lp, M, D] -> [B*M, n_chunks, D, N] (the forward output's layout)
+    gq = jnp.transpose(gq, (0, 2, 3, 1)).reshape(
+        B * M, D, n_chunks, N).transpose(0, 2, 1, 3)
+
+    interpret = _use_interpret()
+    dval_parts = []
+    dx_parts = []
+    dy_parts = []
+    dw_parts = []
+    start = 0
+    for lid, (H, W) in enumerate(spatial_shapes):
+        v = value[:, start : start + H * W]
+        v2 = jnp.transpose(v.reshape(B, H, W, M, D), (0, 3, 1, 4, 2))
+        v2 = v2.reshape(B * M, H * D, W)
+        x = locs[lid, ..., 0] * W - 0.5
+        y = locs[lid, ..., 1] * H - 0.5
+        w = wts[lid]
+
+        kern = functools.partial(_level_bwd_kernel, H=H, W=W, P=P, D=D, N=N,
+                                 n_chunks=n_chunks)
+        pnc = pl.BlockSpec((1, P, n_chunks, N), lambda bm: (bm, 0, 0, 0))
+        dv2, dx, dy, dw = pl.pallas_call(
+            kern,
+            grid=(B * M,),
+            in_specs=[
+                pnc, pnc, pnc,
+                pl.BlockSpec((1, n_chunks, D, N), lambda bm: (bm, 0, 0, 0)),
+                pl.BlockSpec((1, H * D, W), lambda bm: (bm, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, H * D, W), lambda bm: (bm, 0, 0)),
+                pnc, pnc, pnc,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * M, H * D, W), jnp.float32),
+                jax.ShapeDtypeStruct((B * M, P, n_chunks, N), jnp.float32),
+                jax.ShapeDtypeStruct((B * M, P, n_chunks, N), jnp.float32),
+                jax.ShapeDtypeStruct((B * M, P, n_chunks, N), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x, y, w, gq, v2)
+
+        # [BM, H*D, W] -> [B, H*W, M, D]
+        dv2 = dv2.reshape(B, M, H, D, W)
+        dval_parts.append(
+            jnp.transpose(dv2, (0, 2, 4, 1, 3)).reshape(B, H * W, M, D))
+        dx_parts.append(dx * W)  # chain through x = loc_x * W - 0.5
+        dy_parts.append(dy * H)
+        dw_parts.append(dw)
+        start += H * W
+
+    d_value = jnp.concatenate(dval_parts, axis=1).astype(value.dtype)
+
+    def _unpack(parts):
+        # [L, BM, P, n_chunks, N] -> [B, Lq, M, L, P]
+        a = jnp.stack(parts, axis=0).reshape(L, B, M, P, Lp)
+        return jnp.transpose(a, (1, 4, 2, 0, 3))[:, :Lq]
+
+    dl = jnp.stack([_unpack(dx_parts), _unpack(dy_parts)], axis=-1)
+    d_locs = dl.astype(sampling_locations.dtype)
+    d_wts = _unpack(dw_parts).astype(attention_weights.dtype)
+    return d_value, d_locs, d_wts
 
 
 def _forward(value, spatial_shapes, sampling_locations, attention_weights,
@@ -168,16 +333,22 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights, chunk):
 
 
 def _bwd(spatial_shapes, chunk, res, g):
-    # Adjoints through the fused hat-matmul (the fastest XLA formulation's
-    # AD): identical math, matmul-structured, deterministic.
-    from .msdeform import ms_deform_attn_core
-
     value, locs, wts = res
-    _, vjp = jax.vjp(
-        lambda v, l, a: ms_deform_attn_core(v, spatial_shapes, l, a),
-        value, locs, wts,
-    )
-    return vjp(g)
+    import os
+
+    if os.environ.get("PCTRANS_MSDA_BWD", "pallas") == "matmul":
+        # Escape hatch: adjoints through the fused hat-matmul (the XLA
+        # formulation's AD) — identical math, matmul-structured.  ~2.5x
+        # slower than the Pallas backward at train shapes (its fused
+        # generator does H*W VPU work per sample, twice under AD).
+        from .msdeform import ms_deform_attn_core
+
+        _, vjp = jax.vjp(
+            lambda v, l, a: ms_deform_attn_core(v, spatial_shapes, l, a),
+            value, locs, wts,
+        )
+        return vjp(g)
+    return _backward(value, spatial_shapes, locs, wts, g, chunk)
 
 
 ms_deform_attn_core_pallas2.defvjp(_fwd, _bwd)

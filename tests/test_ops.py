@@ -396,6 +396,32 @@ class TestMSDeformAttnPallas2:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_gradients_multichunk_padded(self, rng):
+        """The Pallas backward kernel (msdeform_pallas2._backward) across
+        chunk boundaries and query padding: Lq = 150 with chunk = 128 gives
+        2 lane-chunks with 106 padded rows; all three grads must match the
+        reference-path AD."""
+        from pctrans_tpu.ops.msdeform import ms_deform_attn_core_reference
+        from pctrans_tpu.ops.msdeform_pallas2 import ms_deform_attn_core_pallas2
+
+        value, shapes, locs, attn = self._random_inputs(rng, B=2, M=2, D=16,
+                                                        Lq=150)
+
+        def loss(core, v, l, a, **kw):
+            return (core(v, tuple(shapes), l, a, **kw) ** 2).sum()
+
+        g1 = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_pallas2,
+                                           v, l, a, chunk=128),
+                      (0, 1, 2))(jnp.array(value), jnp.array(locs),
+                                 jnp.array(attn))
+        g2 = jax.grad(lambda v, l, a: loss(ms_deform_attn_core_reference,
+                                           v, l, a),
+                      (0, 1, 2))(jnp.array(value), jnp.array(locs),
+                                 jnp.array(attn))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_dispatcher_pallas2(self, rng):
         from pctrans_tpu.ops.msdeform import ms_deform_attn
 

@@ -77,7 +77,14 @@ def bench_shape(name, B, H0, W0, dtype, iters=20):
         def bwd_loop(c, grad=grad):
             def body(i, c):
                 gv, gl, ga = grad(value, locs + c * 0, attn)
-                return gv.ravel()[0].astype(jnp.float32) * 1e-30 + c
+                # fetch a combination of ALL three grads — fetching only gv
+                # lets XLA dead-code-eliminate the d_locs/d_attn computation
+                # (measured: matmul "fwd+bwd" 2.38 ms with gv only vs the
+                # true three-grad cost), which the train step cannot skip
+                s = (gv.ravel()[0].astype(jnp.float32)
+                     + gl.ravel()[0].astype(jnp.float32)
+                     + ga.ravel()[0].astype(jnp.float32))
+                return s * 1e-30 + c
             return jax.lax.fori_loop(0, iters, body, c)
 
         try:
