@@ -68,10 +68,13 @@ _PEAK_TFLOPS = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0,
                 "v5p": 459.0, "v6 lite": 918.0, "v6e": 918.0}
 
 # relay-dead jax.devices() hangs forever; bound it (env-overridable so the
-# error path is testable without the full ~10 min retry budget)
-PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", 180))
+# error path is testable without the full retry budget).  Worst-case probe
+# budget (3*150 + 2*30 = 510 s) stays under BENCH_DEADLINE_S (570) so a
+# dead relay still yields the structured "backend-init" line before the
+# watchdog (armed from the start, see main()) or the driver kill at ~600 s.
+PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", 150))
 PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
-PROBE_BACKOFF_S = int(os.environ.get("BENCH_PROBE_BACKOFF_S", 45))
+PROBE_BACKOFF_S = int(os.environ.get("BENCH_PROBE_BACKOFF_S", 30))
 
 
 def _emit(obj) -> None:
@@ -228,6 +231,27 @@ def kernel_check() -> str:
     msda = ("ok" if err / scale < 1e-2 else "FAIL") \
         + " (pallas2 vs matmul maxerr=%.2e rel=%.2e)" % (err, err / scale)
 
+    # The train path runs the Pallas BACKWARD kernel
+    # (msdeform_pallas2._backward) — gate all three gradients against the
+    # XLA adjoints too, same bf16-granularity tolerance.
+    _status("kernel_check: compiling pallas2 backward vs matmul adjoints")
+
+    def _loss(impl):
+        return jax.jit(jax.grad(
+            lambda v, l, a:
+                (ms_deform_attn(v, shapes, l, a, impl=impl) ** 2).sum(),
+            (0, 1, 2)))
+
+    g_k = _loss("pallas2")(value, locs, w)
+    g_r = _loss("matmul")(value, locs, w)
+    bwd_worst = 0.0
+    for a_, b_ in zip(g_k, g_r):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        s_ = float(np.max(np.abs(b_))) or 1.0
+        bwd_worst = max(bwd_worst, float(np.max(np.abs(a_ - b_))) / s_)
+    bwd = ("ok" if bwd_worst < 1e-2 else "FAIL") \
+        + " (3-grad worst rel=%.2e)" % bwd_worst
+
     # The timed eval path also runs the Pallas dynamic-mask render kernel —
     # gate it against the einsum reference too (fast-wrong coverage must
     # match what is actually timed).
@@ -250,7 +274,7 @@ def kernel_check() -> str:
     rscale = float(np.max(np.abs(out_r))) or 1.0
     render = ("ok" if rerr / rscale < 1e-2 else "FAIL") \
         + " (render vs einsum maxerr=%.2e rel=%.2e)" % (rerr, rerr / rscale)
-    return "msdeform: %s; render: %s" % (msda, render)
+    return "msdeform: %s; msdeform-bwd: %s; render: %s" % (msda, bwd, render)
 
 
 def _make_state_and_eval(num_queries: int, top_k, dtype: str):
@@ -299,6 +323,14 @@ def bench_inference(B: int, H: int, W: int, num_queries: int = 100,
         M, D, P, layers = 8, 16, 4, 6
         S = sum(-(-H // s) * -(-W // s) for s in (8, 16, 32))
         flops += 2.0 * B * M * S * P * D * S * layers
+        # The eval path also renders dynamic masks through the Pallas kernel
+        # (another custom call counted as zero): 10 renders (9 decoder
+        # layers + the initial prediction) of a 3-layer per-query MLP over
+        # the stride-4 grid — 2*Q*HW4*(ch*(Cm+2) + ch*ch + ch) per image
+        # (ops/render_pallas.py).
+        Q, ch, Cm, renders = num_queries, 8, 16, 10
+        HW4 = -(-H // 4) * -(-W // 4)
+        flops += 2.0 * B * Q * HW4 * (ch * (Cm + 2) + ch * ch + ch) * renders
 
     @jax.jit
     def loop(c):
@@ -356,11 +388,18 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
     step = jax.jit(make_train_step(config, criterion, tx, max_instances=40))
     rng = jax.random.key(0)
 
-    # XLA-counted FLOPs of one train step (fwd+bwd+optimizer).  Unlike eval,
-    # no analytic correction: the train path dispatches ms-deform to the XLA
-    # hat-matmul (impl='auto_train', ops/msdeform.py — fused fwd+bwd wins
-    # under AD), whose dots cost_analysis already counts.
+    # XLA-counted FLOPs of one train step (fwd+bwd+optimizer), plus the
+    # analytic ms-deform correction: on TPU the train path dispatches to the
+    # Pallas kernel pair (impl='auto_train' -> pallas2, ops/msdeform.py),
+    # both custom calls XLA counts as zero.  Forward = one stage-1 dot per
+    # (level, point); backward = three dots of identical size (t recompute,
+    # s, dV — ops/msdeform_pallas2.py), so fwd+bwd = 4x the forward term.
+    # The train-mode render uses the einsum formulation (already counted).
     flops = _xla_flops(step.lower(state, batch, rng).compile())
+    if flops and jax.default_backend() == "tpu":
+        M, D, P, layers = 8, 16, 4, 6
+        Ssum = sum((S // s) * (S // s) for s in (8, 16, 32))
+        flops += 4 * 2.0 * B * M * Ssum * P * D * Ssum * layers
 
     _status("train bench: compiling train step")
     # Python-loop dispatch with a dependent final scalar fetch: each step
@@ -386,6 +425,10 @@ def main():
         "unit": "images/sec",
         "vs_baseline": None,
     }
+    # watchdog first: the probe itself can consume most of the deadline on
+    # a dead relay, and an unguarded probe overrun would reproduce the bare
+    # rc=124 this file exists to prevent
+    _start_watchdog(out)
     _status("probing backend (subprocess)")
     ok, detail = _probe_backend()
     if not ok:
@@ -395,16 +438,17 @@ def main():
         sys.exit(1)
     out["backend"] = detail
     _status("backend up: %s" % detail)
-    _start_watchdog(out)
     _setup_jax()
 
     try:
         out["kernel_check"] = kernel_check()
     except Exception as e:
         out["kernel_check"] = "ERROR: %s" % str(e)[-200:]
-    if "FAIL" in out["kernel_check"]:
+    if "FAIL" in out["kernel_check"] or "ERROR" in out["kernel_check"]:
         # fast-wrong guard: never publish a throughput number computed by a
-        # kernel that disagrees with its reference on this device
+        # kernel that disagrees with its reference on this device — and if
+        # the gate itself crashed, it cannot vouch either way, so don't
+        # publish on that path either.
         out.update(error="kernel-check")
         _emit(out)
         sys.exit(3)

@@ -59,12 +59,24 @@ def initialize_distributed(coordinator: Optional[str] = None,
         # failure must be fatal: falling back would leave N independent
         # trainers writing the same OUTPUT_PATH, the exact failure mode
         # this branch exists to prevent.
-        cluster_markers = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
-                           "MEGASCALE_COORDINATOR_ADDRESS",
-                           "SLURM_JOB_ID", "SLURM_NTASKS",
-                           "KUBERNETES_SERVICE_HOST",
-                           "OMPI_COMM_WORLD_SIZE")
-        expected = [m for m in cluster_markers if env.get(m)]
+        # Markers must indicate MULTIPLE workers, not the mere presence of
+        # an orchestrator: KUBERNETES_SERVICE_HOST is injected into every
+        # k8s pod (including single-host TPU VMs) and SLURM_JOB_ID exists
+        # for ntasks=1 allocations — treating those as "cluster expected"
+        # would turn a legitimate single-process run into a hard crash.
+        def _multi(var):
+            try:
+                return int(env.get(var, "1")) > 1
+            except ValueError:
+                return False
+
+        expected = []
+        if env.get("TPU_WORKER_HOSTNAMES", "").count(",") >= 1:
+            expected.append("TPU_WORKER_HOSTNAMES")  # >1 pod worker listed
+        if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+            expected.append("MEGASCALE_COORDINATOR_ADDRESS")
+        expected += [m for m in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE")
+                     if _multi(m)]
         try:
             jax.distributed.initialize()
             return jax.process_index()
