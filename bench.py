@@ -105,6 +105,107 @@ _PHASE = "startup"
 # measured 320-530 s) loses only the phases it hadn't reached.
 BENCH_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 570))
 
+# The watchdog can only *report* a wedge; recovery needs a process boundary.
+# When invoked without BENCH_CHILD, bench.py supervises itself: the capture
+# runs in a child process whose stderr phase lines double as a heartbeat.
+# If the child goes silent for BENCH_STALL_S (wedged relay RPC — the
+# longest healthy inter-phase gap measured is ~111 s) it is killed and,
+# budget permitting, retried: the persistent compile cache makes the retry
+# much cheaper, and killing the wedged client demonstrably unwedges the
+# relay for the next connection (observed 2026-08-19, twice).
+BENCH_STALL_S = int(os.environ.get("BENCH_STALL_S", 210))
+SUPERVISOR_DEADLINE_S = int(os.environ.get("BENCH_SUPERVISOR_DEADLINE_S", 585))
+MIN_RETRY_BUDGET_S = 120  # below this a retry can't beat the partial we have
+
+
+def _supervise() -> int:
+    """Run main() in heartbeat-monitored child processes; forward the best
+    JSON line any attempt produced (complete beats partial beats none)."""
+    import subprocess
+    import threading
+
+    deadline = _T0 + SUPERVISOR_DEADLINE_S
+    best = None          # parsed JSON dict from the best attempt so far
+    best_rc = 1
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.perf_counter()
+        env = dict(os.environ, BENCH_CHILD="1",
+                   BENCH_DEADLINE_S=str(max(int(remaining) - 5, 30)))
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True)
+        last_beat = [time.perf_counter()]
+        json_lines = []
+
+        def _pump(pipe, collect):
+            for line in pipe:
+                last_beat[0] = time.perf_counter()
+                if collect is not None:
+                    collect.append(line)
+                else:
+                    sys.stderr.write(line)
+                    sys.stderr.flush()
+
+        threads = [
+            threading.Thread(target=_pump, args=(child.stdout, json_lines),
+                             daemon=True),
+            threading.Thread(target=_pump, args=(child.stderr, None),
+                             daemon=True),
+        ]
+        for t in threads:
+            t.start()
+        wedged = False
+        while child.poll() is None:
+            now = time.perf_counter()
+            if now - last_beat[0] > BENCH_STALL_S or now > deadline:
+                wedged = True
+                print("[bench supervisor] attempt %d %s — killing child"
+                      % (attempt, "wedged (%.0f s silent)"
+                         % (now - last_beat[0]) if now <= deadline
+                         else "over deadline"),
+                      file=sys.stderr, flush=True)
+                child.kill()
+                break
+            time.sleep(1.0)
+        child.wait()
+        for t in threads:
+            t.join(timeout=5.0)
+
+        parsed = None
+        for line in reversed(json_lines):
+            try:
+                parsed = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if parsed is not None:
+            # complete (no error) wins; otherwise keep the most populated
+            if best is None or ("error" in best and
+                                ("error" not in parsed
+                                 or len(parsed) > len(best))):
+                best, best_rc = parsed, child.returncode or 0
+        if parsed is not None and "error" not in parsed:
+            break
+        if deadline - time.perf_counter() < MIN_RETRY_BUDGET_S:
+            break
+        if wedged:
+            # the relay is single-client and can stay poisoned briefly after
+            # its client is killed; give it time to drop the dead session
+            time.sleep(10.0)
+
+    if best is None:
+        best = {"metric": "cvppp_inference_throughput", "value": None,
+                "unit": "images/sec", "vs_baseline": None,
+                "error": "supervisor", "attempts": attempt,
+                "detail": "no JSON from any child attempt"}
+        best_rc = 4
+    best["supervisor_attempts"] = attempt
+    _emit(best)
+    return best_rc if "error" in best else 0
+
 
 _WATCHDOG_DISARM = None
 
@@ -142,9 +243,19 @@ def _probe_backend():
     """Check the accelerator backend comes up, in a subprocess with a
     timeout (a dead relay makes jax.devices() hang in C code — it cannot
     be interrupted in-process).  Returns (ok, detail)."""
-    code = "import jax; d = jax.devices(); print(d[0].platform, d[0].device_kind)"
+    # listing devices is not enough: a wedged relay can answer jax.devices()
+    # while hanging every execution (observed 2026-08-19 18:06, probe green
+    # at 2 s then a bare 512x512 matmul blocked >60 s) — so the probe must
+    # EXECUTE something before it vouches for the backend
+    code = ("import jax, jax.numpy as jnp; d = jax.devices(); "
+            "assert float(jnp.ones((128, 128)).sum()) == 16384.0; "
+            "print(d[0].platform, d[0].device_kind)")
     last = ""
     for attempt in range(1, PROBE_ATTEMPTS + 1):
+        # heartbeat per attempt: keeps the supervisor's stall timer (210 s)
+        # from killing a child that is legitimately waiting out the probe's
+        # own 150 s timeout + 30 s backoff
+        _status("backend probe attempt %d/%d" % (attempt, PROBE_ATTEMPTS))
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code],
@@ -410,12 +521,26 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
     # worse inside an outer loop), so it would under-report real training.
     st, m = step(state, batch, rng)   # compile + warmup
     float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        st, m = step(st, batch, rng)
-    float(m["loss"])                  # waits for the whole chain
-    dt = max(time.perf_counter() - t0 - ROUND_TRIP_S, 1e-9) / iters
-    return B / dt, (flops / B if flops else None)
+    # Unlike the eval bench (one fori_loop device program, so relay latency
+    # is paid twice per measurement), this python chain pays a dispatch
+    # round trip per step, which makes a single attempt hostage to transient
+    # relay degradation (observed 2026-08-19: 204 ms/step on a sluggish
+    # relay vs 43 ms measured hours earlier on the same commit).  Best-of-N
+    # attempts, deadline-aware: keep the fastest chain.
+    attempts = []
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, m = step(st, batch, rng)
+        float(m["loss"])              # waits for the whole chain
+        elapsed = time.perf_counter() - t0
+        attempts.append(max(elapsed - ROUND_TRIP_S, 1e-9) / iters)
+        remaining = BENCH_DEADLINE_S - (time.perf_counter() - _T0)
+        if len(attempts) >= 4 or remaining < 2.0 * elapsed + 10.0:
+            break
+    dt = min(attempts)
+    return B / dt, (flops / B if flops else None), \
+        [round(a * 1e3, 1) for a in attempts]
 
 
 def main():
@@ -486,8 +611,11 @@ def main():
         out["bbbc_error"] = str(e)[-300:]
 
     try:
-        train_ips, train_flops_per_img = bench_train()
+        train_ips, train_flops_per_img, train_attempts = bench_train()
         out["train_img_per_sec"] = round(train_ips, 3)
+        # per-attempt ms/step, fastest kept — spread >> min means a degraded
+        # relay, not a model regression
+        out["train_ms_per_step_attempts"] = train_attempts
         if train_flops_per_img:
             peak = _device_peak_tflops() * 1e12
             out["train_gflops_per_image"] = round(train_flops_per_img / 1e9, 1)
@@ -500,4 +628,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_SELFTEST") and os.environ.get("BENCH_CHILD"):
+        # deviceless smoke of the supervisor plumbing: child emits instantly
+        _status("selftest child")
+        _emit({"metric": "selftest", "value": 1.0})
+        sys.exit(0)
+    if os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_NO_SUPERVISE"):
+        main()
+    else:
+        sys.exit(_supervise())
