@@ -630,7 +630,10 @@ def main():
 if __name__ == "__main__":
     if os.environ.get("BENCH_SELFTEST") and os.environ.get("BENCH_CHILD"):
         # deviceless smoke of the supervisor plumbing: child emits instantly
+        # (or hangs forever, to exercise the stall-kill path in CI)
         _status("selftest child")
+        if os.environ.get("BENCH_SELFTEST_HANG"):
+            time.sleep(3600)
         _emit({"metric": "selftest", "value": 1.0})
         sys.exit(0)
     if os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_NO_SUPERVISE"):
