@@ -36,6 +36,11 @@ def get_args():
 def main():
     args = get_args()
     cfg = load_cfg(args.config_base, args.config_file, args.opts, freeze=False)
+    # reference semantics (scripts/eval.py:103-104): checkpoints come from
+    # the TRAINING output path (model_dir = cfg.DATASET.OUTPUT_PATH read
+    # BEFORE inference overrides); INFERENCE.OUTPUT_PATH only receives the
+    # sweep records. The inference overrides apply to the eval run itself.
+    model_dir = cfg.DATASET.OUTPUT_PATH
     cfg = update_inference_cfg(cfg)
     cfg.freeze()
 
@@ -44,11 +49,11 @@ def main():
 
     trainer = Trainer(cfg, mode="test")
     sweep = [
-        c for c in ckpt.list_checkpoints(cfg.DATASET.OUTPUT_PATH)
+        c for c in ckpt.list_checkpoints(model_dir)
         if ckpt.checkpoint_iteration(c) >= args.start
     ]
     if not sweep:
-        print(f"No checkpoints >= iter {args.start} in {cfg.DATASET.OUTPUT_PATH}")
+        print(f"No checkpoints >= iter {args.start} in {model_dir}")
         return
     from pctrans_tpu.parallel import replicate
 
