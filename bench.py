@@ -103,6 +103,9 @@ _PHASE = "startup"
 # default sits just under the driver's ~10 min kill; a healthy-but-slow
 # capture (relay throughput varies ~2x run to run; a full clean capture
 # measured 320-530 s) loses only the phases it hadn't reached.
+# NOTE: on the default (supervised) entrypoint this env var acts as an
+# upper CAP on each attempt's deadline — the supervisor hands every child
+# min(BENCH_DEADLINE_S, its remaining budget - 20 s).
 BENCH_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", 570))
 
 # The watchdog can only *report* a wedge; recovery needs a process boundary.
@@ -121,7 +124,7 @@ MIN_RETRY_BUDGET_S = 120  # below this a retry can't beat the partial we have
 def _supervise() -> int:
     """Run main() in heartbeat-monitored child processes; forward the best
     JSON line any attempt produced (complete beats partial beats none)."""
-    import subprocess
+    import signal
     import threading
 
     deadline = _T0 + SUPERVISOR_DEADLINE_S
@@ -131,12 +134,29 @@ def _supervise() -> int:
     while True:
         attempt += 1
         remaining = deadline - time.perf_counter()
+        # child watchdog must fire BEFORE the supervisor's kill so the child
+        # can emit its partial-results JSON: its deadline clock starts at
+        # bench.py import, ~5-10 s of interpreter+sitecustomize-jax startup
+        # after the Popen — hence the 20 s margin.  An operator-provided
+        # BENCH_DEADLINE_S still caps it from above.
+        child_deadline = max(min(int(remaining) - 20,
+                                 int(os.environ.get("BENCH_DEADLINE_S",
+                                                    10**9))), 10)
         env = dict(os.environ, BENCH_CHILD="1",
-                   BENCH_DEADLINE_S=str(max(int(remaining) - 5, 30)))
+                   BENCH_DEADLINE_S=str(child_deadline))
+        # new session: a SIGKILL to the child alone would orphan an
+        # in-flight probe grandchild that can hang on (and poison) the
+        # single-client relay — kill the whole process group instead
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-            text=True)
+            text=True, start_new_session=True)
+
+        def _kill_group():
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                child.kill()
         last_beat = [time.perf_counter()]
         json_lines = []
 
@@ -167,7 +187,7 @@ def _supervise() -> int:
                          % (now - last_beat[0]) if now <= deadline
                          else "over deadline"),
                       file=sys.stderr, flush=True)
-                child.kill()
+                _kill_group()
                 break
             time.sleep(1.0)
         child.wait()
@@ -188,6 +208,16 @@ def _supervise() -> int:
                                  or len(parsed) > len(best))):
                 best, best_rc = parsed, child.returncode or 0
         if parsed is not None and "error" not in parsed:
+            break
+        # retry ONLY transient failures: a wedge (killed child) or a child
+        # that timed itself out.  "kernel-check" is deterministic (re-running
+        # the gate re-reports the same FAIL), "backend-init" already spent a
+        # full multi-attempt probe cycle inside the child, and a fast
+        # JSON-less crash (bad env, import failure) would just loop — all of
+        # those fail fast with whatever record exists.
+        transient = wedged or (parsed is not None
+                               and parsed.get("error") == "deadline")
+        if not transient:
             break
         if deadline - time.perf_counter() < MIN_RETRY_BUDGET_S:
             break
