@@ -73,6 +73,14 @@ def initialize_distributed(coordinator: Optional[str] = None,
         expected = []
         if env.get("TPU_WORKER_HOSTNAMES", "").count(",") >= 1:
             expected.append("TPU_WORKER_HOSTNAMES")  # >1 pod worker listed
+        # TPU_WORKER_ID > 0 proves this process is a non-first pod worker
+        # even when TPU_WORKER_HOSTNAMES is absent/malformed; it is 0 on
+        # single-host TPU VMs, so it cannot false-positive those.
+        try:
+            if int(env.get("TPU_WORKER_ID", "0")) > 0:
+                expected.append("TPU_WORKER_ID")
+        except ValueError:
+            pass
         if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
             expected.append("MEGASCALE_COORDINATOR_ADDRESS")
         expected += [m for m in ("SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE")

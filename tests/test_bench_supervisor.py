@@ -45,3 +45,17 @@ def test_supervisor_kills_wedged_child_and_reports():
     assert out["error"] == "supervisor"
     assert out["supervisor_attempts"] >= 1
     assert "killing child" in r.stderr
+
+
+@pytest.mark.slow
+def test_supervisor_forwards_partial_from_wedged_child():
+    """A child that got a per-phase cumulative line out before wedging:
+    the supervisor must forward that partial (not 'no JSON') and exit with
+    the normalized deadline code 4 — never the raw negative kill rc."""
+    r = _run({"BENCH_SELFTEST_PARTIAL": "1", "BENCH_STALL_S": "3",
+              "BENCH_SUPERVISOR_DEADLINE_S": "12"}, timeout=120)
+    assert r.returncode == 4, (r.returncode, r.stderr[-500:])
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "selftest" and out["value"] == 1.0
+    assert out["partial"] is True
+    assert "killing child" in r.stderr
