@@ -33,7 +33,11 @@ def get_dataset(cfg, mode: str):
         return CVPPP(root, mode, crop_size=size)
     if dt == "BBBC":
         m = {"train": "train", "val": "validation", "test": "test"}[mode]
-        return BBBC(root, m, crop_size=(512, 512))
+        # the reference hardcodes crop_size=[512,512] (dataset_BBBC.py:113)
+        # and the recipe YAML carries the same value in MODEL.INPUT_SIZE;
+        # deriving it from the config keeps the recipe identical while
+        # letting fixtures shrink end-to-end smoke runs
+        return BBBC(root, m, crop_size=tuple(cfg.MODEL.INPUT_SIZE[-2:]))
     if dt in ("synthetic", "synthetic_bbbc"):
         size = tuple(cfg.MODEL.INPUT_SIZE[-2:])
         length = 64 if mode == "train" else 8

@@ -55,6 +55,9 @@ class LegacyTrainer:
     def __init__(self, cfg: CfgNode, mode: str = "train",
                  checkpoint: Optional[str] = None, mesh=None):
         assert mode in ("train", "test")
+        from ..utils.cache import enable_compile_cache
+
+        enable_compile_cache()
         self.cfg = cfg
         self.mode = mode
         self.output_dir = cfg.DATASET.OUTPUT_PATH

@@ -57,6 +57,9 @@ class Trainer:
         checkpoint: Optional[str] = None,
         mesh=None,
     ):
+        from ..utils.cache import enable_compile_cache
+
+        enable_compile_cache()
         self.cfg = cfg
         self.mode = mode
         self.model_config = build_model_config(cfg)

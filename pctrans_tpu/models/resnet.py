@@ -116,13 +116,78 @@ class ResNet(nn.Module):
 # --------------------------------------------------------------------------
 # detectron2 R-50.pkl conversion
 # --------------------------------------------------------------------------
-def convert_d2_r50_pickle(path: str, depth: int = 50):
+_C2_BRANCH = {"branch1": "shortcut", "branch2a": "conv1",
+              "branch2b": "conv2", "branch2c": "conv3"}
+
+
+def _caffe2_to_d2_names(weights):
+    """Map the detectron2 model-zoo ``R-50.pkl`` Caffe2 key manifest to
+    d2-native names.
+
+    The real ImageNet pickle (``detectron2://ImageNetPretrained/MSRA/
+    R-50.pkl``, the file the reference configs point MODEL.WEIGHTS at —
+    configs/CVPPP/CVPPP-PCTrans-Base.yaml:27) is Caffe2-format:
+    ``conv1_w``, ``res_conv1_bn_s/_b``, ``res{2..5}_{i}_branch{1,2a,2b,2c}_w``
+    with ``_bn_s``/``_bn_b`` affine pairs, a ``fc1000_w/_b`` classifier head,
+    and NO running mean/var (absorbed into the affine at conversion time —
+    detectron2's FrozenBatchNorm2d defaults the missing buffers to mean 0 /
+    var 1-eps).  Same mapping as detectron2's
+    ``c2_model_loading.convert_basic_c2_names``.
+    """
+    import re
+
+    out = {}
+    for k, v in weights.items():
+        if not hasattr(v, "shape"):
+            continue  # metadata entries (e.g. lr, model_iter)
+        if k.startswith("fc1000"):
+            continue  # ImageNet classifier head, unused by the backbone
+        if k == "conv1_w":
+            out["stem.conv1.weight"] = v
+        elif k == "res_conv1_bn_s":
+            out["stem.conv1.norm.weight"] = v
+        elif k == "res_conv1_bn_b":
+            out["stem.conv1.norm.bias"] = v
+        else:
+            m = re.match(
+                r"res(\d)_(\d+)_(branch1|branch2a|branch2b|branch2c)"
+                r"_(w|b|bn_s|bn_b)$", k)
+            if m is None:
+                raise KeyError(f"unrecognized Caffe2 R-50 key: {k!r}")
+            stage, block, branch, suffix = m.groups()
+            name = f"res{stage}.{block}.{_C2_BRANCH[branch]}"
+            sfx = {"w": "weight", "b": "bias",
+                   "bn_s": "norm.weight", "bn_b": "norm.bias"}[suffix]
+            out[f"{name}.{sfx}"] = v
+    return out
+
+
+def convert_d2_r50_pickle(path: str, depth: int = 50,
+                          conv1_bgr_to_rgb: bool = True):
     """Convert a detectron2 ``R-50.pkl`` checkpoint to (params, frozen) trees.
 
-    The pickle holds a dict with a ``model`` key of numpy arrays named e.g.
-    ``stem.conv1.weight``, ``res2.0.conv1.norm.running_mean`` (detectron2
-    naming).  Conv kernels are converted OIHW -> HWIO.  Returns two nested
-    dicts matching :class:`ResNet` with ``norm='FrozenBN'``: the ``params``
+    Accepts BOTH on-disk formats:
+
+    * d2-native: ``stem.conv1.weight``, ``res2.0.conv1.norm.running_mean``
+      (what ``DetectionCheckpointer`` re-saves);
+    * Caffe2 model-zoo (the actual ImageNet ``R-50.pkl`` the reference
+      trains from): ``conv1_w`` / ``res2_0_branch2a_bn_s`` naming, detected
+      by the ``conv1_w`` key and mapped via :func:`_caffe2_to_d2_names`.
+      Missing running stats default to mean 0 / var 1-eps (detectron2
+      ``FrozenBatchNorm2d`` buffer defaults, so the folded scale is exactly
+      the stored affine weight).
+
+    The Caffe2 weights were converted from Caffe and expect **BGR** input;
+    this pipeline feeds RGB (the CVPPP/BBBC loaders normalize RGB with
+    ImageNet stats, data/cvppp.py), so by default the conv1 input channels
+    are flipped to RGB order.  ``conv1_bgr_to_rgb=False`` replicates the
+    reference's as-published behavior instead, which loads the BGR kernel
+    unchanged while feeding RGB tensors (detectron2 only handles the BGR
+    convention inside its own DatasetMapper, which the reference bypasses —
+    dataset_CVPPP.py:103-119 feeds RGB straight to the d2 backbone).
+
+    Conv kernels are converted OIHW -> HWIO.  Returns two nested dicts
+    matching :class:`ResNet` with ``norm='FrozenBN'``: the ``params``
     collection (conv kernels) and the ``frozen`` collection (BN stats).
     """
     import pickle
@@ -130,6 +195,12 @@ def convert_d2_r50_pickle(path: str, depth: int = 50):
     with open(path, "rb") as f:
         data = pickle.load(f, encoding="latin1")
     weights = data.get("model", data)
+    caffe2_format = "conv1_w" in weights
+    if caffe2_format:
+        weights = _caffe2_to_d2_names(weights)
+        if conv1_bgr_to_rgb:
+            weights["stem.conv1.weight"] = np.ascontiguousarray(
+                np.asarray(weights["stem.conv1.weight"])[:, ::-1])
 
     blocks_per_stage = {14: [1, 1, 1, 1], 50: [3, 4, 6, 3], 101: [3, 4, 23, 3]}[depth]
     params: Dict = {}
@@ -146,11 +217,19 @@ def convert_d2_r50_pickle(path: str, depth: int = 50):
         return w.transpose(2, 3, 1, 0)  # OIHW -> HWIO
 
     def bn_stats(name):
+        scale = np.asarray(weights[name + ".norm.weight"])
+        # Caffe2-converted pickles carry no running stats: detectron2's
+        # FrozenBatchNorm2d defaults mean=0, var=1-eps so the folded scale
+        # equals the stored affine weight exactly (eps matches
+        # layers.FrozenBatchNorm.eps = 1e-5).
         return dict(
-            scale=jnp.asarray(weights[name + ".norm.weight"]),
+            scale=jnp.asarray(scale),
             bias=jnp.asarray(weights[name + ".norm.bias"]),
-            mean=jnp.asarray(weights[name + ".norm.running_mean"]),
-            var=jnp.asarray(weights[name + ".norm.running_var"]),
+            mean=jnp.asarray(weights.get(
+                name + ".norm.running_mean", np.zeros_like(scale))),
+            var=jnp.asarray(weights.get(
+                name + ".norm.running_var",
+                np.full_like(scale, 1.0 - 1e-5))),
         )
 
     put(params, ["stem_conv1", "kernel"], conv_kernel("stem.conv1"))
