@@ -157,7 +157,17 @@ class TestTrainStep:
         with mesh:
             state_r = replicate(mesh, state)
             batch = shard_batch(mesh, batch_np)
-            new_state, m_mesh = jax.jit(step)(state_r, batch, rng)
+            jitted = jax.jit(step)
+            # Collective audit of the compiled SPMD program: gradients must
+            # all-reduce over the data axis, and nothing may all-gather the
+            # sharded batch back onto every device — a silent
+            # re-replication regression that the loss-equality check below
+            # cannot catch (each device would just redo the full batch).
+            hlo = jitted.lower(state_r, batch, rng).compile().as_text()
+            assert hlo.count(" all-reduce") >= 1, "no gradient all-reduce"
+            assert " all-gather" not in hlo, \
+                "sharded values re-replicated via all-gather"
+            new_state, m_mesh = jitted(state_r, batch, rng)
         assert float(m_single["loss"]) == pytest.approx(
             float(m_mesh["loss"]), rel=2e-3)
         assert np.isfinite(float(m_mesh["loss"]))
