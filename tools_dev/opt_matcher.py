@@ -70,3 +70,17 @@ chain_time("LAP only (20x)", lap_only, cost_fix)
 # short; trained-model costs have near-duplicate queries -> longer paths
 cost_dup = jnp.repeat(cost_fix[:, :, :50, :], 2, axis=2) + 0.001 * cost_fix
 chain_time("LAP only (dup rows)", lap_only, cost_dup)
+
+
+# auction alternative at the identical train shape (round-3 verdict item 5:
+# record both numbers in BASELINE.md; ship the faster)
+def lap_auction(c, cm):
+    f = jax.vmap(jax.vmap(
+        lambda m, v: match_padded(m, v, solver="auction"),
+        in_axes=(0, 0)), in_axes=(0, None))
+    idx = f(cm + c * 0, valid)
+    return idx.astype(jnp.float32).ravel()[0] * 1e-30 + c
+
+
+chain_time("LAP auction (20x)", lap_auction, cost_fix, n=2)
+chain_time("LAP auction (dup rows)", lap_auction, cost_dup, n=2)
