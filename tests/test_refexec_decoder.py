@@ -1,0 +1,183 @@
+"""WHOLE-decoder parity vs the EXECUTED reference module.
+
+tests/test_parity_model.py proves the flax decoder against a torch
+*transcription* of mask2former_transformer_decoder.py; this file removes
+the transcription from the loop (round-3 verdict "What's weak" #5): the
+reference's own ``MultiScaleMaskedTransformerDecoder`` is instantiated
+from /root/reference (tests/ref_exec.py stubs only the third-party glue),
+the flax init's weights are transplanted into its ``state_dict``, and both
+decoders run the same inputs.
+
+Covered end-to-end: position-guided query init, per-layer sine-embed *
+query_scale modulation, 2d-dim concat cross-attention, attention-mask
+threading with the all-masked-row reset, inverse-sigmoid point refinement
+with detach, CondInst dynamic-mask rendering (rel coords, stride 4),
+per-layer coord heads on the normed output, aux ordering, and the
+semantic head.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ref_exec import load_ref  # noqa: E402
+
+from jit_helpers import jit_apply, jit_init  # noqa: E402
+
+from pctrans_tpu.models.transformer_decoder import (  # noqa: E402
+    MultiScaleMaskedTransformerDecoder,
+)
+
+# hidden_dim MUST be 128 here: the reference's gen_sineembed_for_position
+# hardcodes dim_t = arange(128) (mask2former_transformer_decoder.py:25),
+# so the published code only runs at the recipe's HIDDEN_DIM=128 — the
+# flax decoder parameterizes that dim and is tested at tiny widths
+# elsewhere (test_parity_model.py).
+D, HEADS, NQ, LAYERS, FFN, CM, CH = 128, 8, 8, 4, 128, 8, 8
+B = 2
+SIZES = [(4, 3), (8, 6), (16, 12)]
+HM, WM = 16, 12
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a)).float()
+
+
+def _lin(sd, name, fp):
+    sd[name + ".weight"] = _t(fp["kernel"]).T.contiguous()
+    sd[name + ".bias"] = _t(fp["bias"])
+
+
+def _mlp(sd, name, fp, n):
+    for i in range(n):
+        _lin(sd, f"{name}.layers.{i}", fp[f"Dense_{i}"])
+
+
+def _ln(sd, name, fp):
+    sd[name + ".weight"] = _t(fp["scale"])
+    sd[name + ".bias"] = _t(fp["bias"])
+
+
+def _conv(sd, name, fp, bias=True):
+    sd[name + ".weight"] = _t(fp["kernel"]).permute(3, 2, 0, 1).contiguous()
+    if bias:
+        sd[name + ".bias"] = _t(fp["bias"])
+
+
+def build_reference_decoder(p, stats):
+    dec_mod = load_ref("connectomics.model.maskformer_block."
+                       "transformer_decoder.mask2former_transformer_decoder")
+    ref = dec_mod.MultiScaleMaskedTransformerDecoder(
+        in_channels=D, mask_classification=True, hidden_dim=D,
+        num_queries=NQ, nheads=HEADS, dim_feedforward=FFN,
+        dec_layers=LAYERS, pre_norm=False, mask_dim=CM,
+        enforce_input_project=False, points_num=1, sem_loss_on=True,
+        norm="SyncBN", rel_coord=True)
+    ref.eval()
+
+    sd = ref.state_dict()
+    sd["level_embed.weight"] = _t(p["level_embed"])
+    sd["query_embed.weight"] = _t(p["query_embed"])
+    sd["query_feat.weight"] = _t(p["query_feat"])
+    _mlp(sd, "ref_point_head", p["ref_point_head"], 2)
+    _mlp(sd, "query_scale", p["query_scale"], 2)
+    _mlp(sd, "point_embed", p["point_embed"], 3)
+    _mlp(sd, "controller", p["controller"], 3)
+    _ln(sd, "decoder_norm", p["decoder_norm"])
+    _conv(sd, "mask_head", p["mask_head"])
+    for i in range(LAYERS):
+        cp = p[f"cross{i}"]
+        base = f"transformer_cross_attention_layers.{i}"
+        for k in ("ca_qcontent_proj", "ca_kcontent_proj", "ca_v_proj",
+                  "ca_kpos_proj", "ca_qpos_sine_proj"):
+            _lin(sd, f"{base}.{k}", cp[k])
+        if "ca_qpos_proj" in cp:  # only layer 0 uses it (is_first)
+            _lin(sd, f"{base}.ca_qpos_proj", cp["ca_qpos_proj"])
+        _lin(sd, f"{base}.cross_attn.out_proj", cp["out_proj"])
+        _ln(sd, f"{base}.norm2", cp["norm2"])
+        sp = p[f"self{i}"]
+        base = f"transformer_self_attention_layers.{i}"
+        for k in ("sa_qcontent_proj", "sa_qpos_proj", "sa_kcontent_proj",
+                  "sa_kpos_proj", "sa_v_proj"):
+            _lin(sd, f"{base}.{k}", sp[k])
+        _lin(sd, f"{base}.self_attn.out_proj", sp["out_proj"])
+        _ln(sd, f"{base}.norm1", sp["norm1"])
+        fp = p[f"ffn{i}"]
+        base = f"transformer_ffn_layers.{i}"
+        _lin(sd, f"{base}.linear1", fp["linear1"])
+        _lin(sd, f"{base}.linear2", fp["linear2"])
+        _ln(sd, f"{base}.norm", fp["norm"])
+    # sem head: Sequential(conv(no bias), BN, ReLU) x2 + 1x1 logits
+    for j in (0, 1):
+        _conv(sd, f"seg_head.{j}.0", p[f"seg_head{j}"]["Conv_0"], bias=False)
+        bn, st = p[f"seg_head{j}"]["BatchNorm_0"], \
+            stats[f"seg_head{j}"]["BatchNorm_0"]
+        sd[f"seg_head.{j}.1.weight"] = _t(bn["scale"])
+        sd[f"seg_head.{j}.1.bias"] = _t(bn["bias"])
+        sd[f"seg_head.{j}.1.running_mean"] = _t(st["mean"])
+        sd[f"seg_head.{j}.1.running_var"] = _t(st["var"])
+    _conv(sd, "logits", p["sem_logits"])
+    ref.load_state_dict(sd, strict=True)
+    return ref
+
+
+def test_flax_decoder_matches_executed_reference():
+    rs = np.random.RandomState(7)
+    dec = MultiScaleMaskedTransformerDecoder(
+        hidden_dim=D, num_queries=NQ, nheads=HEADS, dim_feedforward=FFN,
+        dec_layers=LAYERS, mask_dim=CM, dynamic_mask_channels=CH,
+        upsample2x=True, train=False)
+
+    feats = [rs.randn(B, h, w, D).astype(np.float32) for h, w in SIZES]
+    mask_features = rs.randn(B, HM, WM, D).astype(np.float32)
+    variables = jit_init(dec, [jnp.asarray(f) for f in feats],
+                         jnp.asarray(mask_features))
+    variables = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            np.random.RandomState(a.size % 9973).randn(*a.shape)
+            * 0.05).astype(a.dtype),
+        variables)
+    out = jit_apply(dec, variables, [jnp.asarray(f) for f in feats],
+                    jnp.asarray(mask_features))
+
+    p = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    ref = build_reference_decoder(p, stats)
+
+    with torch.no_grad():
+        ref_out = ref([torch.from_numpy(f).permute(0, 3, 1, 2).contiguous()
+                       for f in feats], None,
+                      torch.from_numpy(mask_features).permute(
+                          0, 3, 1, 2).contiguous())
+
+    ours_masks = [np.asarray(m) for m in out["aux_masks"]] + [
+        np.asarray(out["pred_masks"])]
+    ref_masks = [a["pred_masks"].numpy() for a in ref_out["aux_outputs"]] + [
+        ref_out["pred_masks"].numpy()]
+    assert len(ours_masks) == len(ref_masks) == LAYERS + 1
+    for l, (a, b) in enumerate(zip(ours_masks, ref_masks)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=3e-4,
+                                   err_msg=f"mask logits layer {l}")
+
+    ours_coords = [np.asarray(c) for c in out["aux_reference_points"]] + [
+        np.asarray(out["reference_points"])]
+    ref_coords = [a["reference_points"].numpy()
+                  for a in ref_out["aux_reference_points"]] + [
+        ref_out["reference_points"].numpy()]
+    assert len(ours_coords) == len(ref_coords) == LAYERS
+    for l, (a, b) in enumerate(zip(ours_coords, ref_coords)):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5,
+                                   err_msg=f"coords layer {l}")
+
+    np.testing.assert_allclose(
+        np.asarray(out["sem_mask"]),
+        ref_out["sem_mask"].permute(0, 2, 3, 1).numpy(),
+        rtol=1e-3, atol=3e-4)
