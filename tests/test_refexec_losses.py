@@ -1,0 +1,149 @@
+"""Loss-zoo + scheduler parity vs EXECUTED reference code.
+
+Runs the reference's own ``loss/loss.py`` (legacy zoo +
+``discriminative_loss``), the ``maskformer_criterion`` module-level
+functions, and ``engine/solver/lr_scheduler.py`` from /root/reference
+against this repo's implementations on identical inputs — replacing the
+transcription oracles for every deterministic loss/schedule term.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ref_exec import load_ref  # noqa: E402
+
+from pctrans_tpu.losses import legacy as L  # noqa: E402
+from pctrans_tpu.losses.discriminative import discriminative_loss  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_loss():
+    return load_ref("connectomics.model.loss.loss")
+
+
+def _pred_target(rng, shape=(2, 1, 8, 16, 16)):
+    pred = rng.rand(*shape).astype(np.float32)
+    target = (rng.rand(*shape) > 0.5).astype(np.float32)
+    weight = rng.rand(*shape).astype(np.float32)
+    return pred, target, weight
+
+
+def test_legacy_zoo_matches_executed_reference(ref_loss, rng):
+    pred, target, weight = _pred_target(rng)
+    tp, tt, tw = map(torch.from_numpy, (pred, target, weight))
+    jp, jt, jw = map(jnp.asarray, (pred, target, weight))
+
+    cases = [
+        (L.DiceLoss(), ref_loss.DiceLoss(), (jp, jt), (tp, tt)),
+        (L.WeightedMSE(), ref_loss.WeightedMSE(), (jp, jt, jw), (tp, tt, tw)),
+        (L.WeightedMAE(), ref_loss.WeightedMAE(), (jp, jt, jw), (tp, tt, tw)),
+        (L.WeightedBCE(), ref_loss.WeightedBCE(), (jp, jt, jw), (tp, tt, tw)),
+        (L.WeightedBCEWithLogitsLoss(), ref_loss.WeightedBCEWithLogitsLoss(),
+         (jp, jt, jw), (tp, tt, tw)),
+        (L.WSDiceLoss(), ref_loss.WSDiceLoss(), (jp, jt), (tp, tt)),
+        (L.WeightedBCEFocalLoss(), ref_loss.WeightedBCEFocalLoss(),
+         (jp, jt, jw), (tp, tt, tw)),
+    ]
+    for mine, ref, jargs, targs in cases:
+        a = float(mine(*jargs))
+        b = float(ref(*targs))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                   err_msg=type(mine).__name__)
+
+    # WeightedCE: integer class targets
+    logits = rng.randn(2, 5, 8, 8).astype(np.float32)
+    labels = rng.randint(0, 5, (2, 8, 8)).astype(np.int64)
+    a = float(L.WeightedCE()(jnp.asarray(logits), jnp.asarray(labels)))
+    b = float(ref_loss.WeightedCE()(torch.from_numpy(logits),
+                                    torch.from_numpy(labels)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6, err_msg="WeightedCE")
+
+
+def test_discriminative_loss_matches_executed_reference(ref_loss, rng):
+    B, C, H, W = 2, 6, 16, 12
+    emb = rng.randn(B, C, H, W).astype(np.float32)
+    seg = np.zeros((B, H, W), np.int64)
+    for b in range(B):
+        seg[b, 2:8, 2:6] = 1
+        seg[b, 9:14, 3 + b : 9 + b] = 2
+        seg[b, 1:5, 8:11] = 3
+    ref = ref_loss.discriminative_loss(
+        torch.from_numpy(emb), torch.from_numpy(seg).float(),
+        delta_v=0.5, delta_d=3.0)
+    mine = discriminative_loss(
+        jnp.asarray(emb.transpose(0, 2, 3, 1)),  # NHWC
+        jnp.asarray(seg.astype(np.int32)),
+        max_instances=8, delta_v=0.5, delta_d=3.0)
+    np.testing.assert_allclose(float(mine), float(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_criterion_pointwise_terms_match_executed_reference(rng):
+    crit = load_ref("connectomics.model.loss.maskformer_criterion")
+    from pctrans_tpu.losses.criterion import _weighted_point_losses
+
+    N, P = 5, 64
+    logits = rng.randn(N, P).astype(np.float32) * 2
+    targets = (rng.rand(N, P) > 0.5).astype(np.float32)
+    num_masks = float(N)
+    ref_dice = float(crit.dice_loss(torch.from_numpy(logits),
+                                    torch.from_numpy(targets), num_masks))
+    ref_ce = float(crit.sigmoid_ce_loss(torch.from_numpy(logits),
+                                        torch.from_numpy(targets), num_masks))
+    # uniform weights == the reference's unweighted point mean / point dice
+    wp = jnp.ones((N, P))
+    ce, dice = _weighted_point_losses(wp, jnp.asarray(logits),
+                                      jnp.asarray(targets))
+    np.testing.assert_allclose(float(dice.sum()) / num_masks, ref_dice,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(ce.sum()) / num_masks, ref_ce,
+                               rtol=1e-5, atol=1e-6)
+
+    # uncertainty = -|logit| (calculate_uncertainty, criterion:101)
+    unc = crit.calculate_uncertainty(torch.from_numpy(logits[:, None]))
+    np.testing.assert_allclose(unc.numpy(), -np.abs(logits[:, None]))
+
+
+def test_lr_schedules_match_executed_reference():
+    sched = load_ref("connectomics.engine.solver.lr_scheduler")
+    from pctrans_tpu.config import get_cfg_defaults
+    from pctrans_tpu.engine.solver import build_lr_schedule
+
+    total, warmup, base = 400, 50, 1e-3
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+
+    cfg = get_cfg_defaults()
+    cfg.SOLVER.BASE_LR = base
+    cfg.SOLVER.ITERATION_TOTAL = total
+    cfg.SOLVER.WARMUP_ITERS = warmup
+    cfg.SOLVER.WARMUP_FACTOR = 0.001
+    cfg.SOLVER.WARMUP_METHOD = "linear"
+
+    for name, ref_cls, kwargs in [
+        ("WarmupPolyLR", sched.WarmupPolyLR,
+         dict(max_iters=total, warmup_factor=0.001, warmup_iters=warmup,
+              warmup_method="linear", power=0.9, constant_ending=0.0)),
+        ("WarmupCosineLR", sched.WarmupCosineLR,
+         dict(max_iters=total, warmup_factor=0.001, warmup_iters=warmup,
+              warmup_method="linear")),
+    ]:
+        cfg2 = cfg.clone()
+        cfg2.SOLVER.LR_SCHEDULER_NAME = name
+        mine = build_lr_schedule(cfg2)
+        opt2 = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+        ref = ref_cls(opt2, **kwargs)
+        for step in range(total):
+            ref_lr = opt2.param_groups[0]["lr"]
+            my_lr = float(mine(step))
+            np.testing.assert_allclose(
+                my_lr, ref_lr, rtol=1e-5, atol=1e-9,  # f32 schedule vs f64
+                err_msg=f"{name} step {step}")
+            opt2.step()
+            ref.step()
