@@ -92,6 +92,10 @@ def get_cfg_defaults() -> CfgNode:
     c.MODEL.SEM_SEG_HEAD.MASK_DIM = 16
     c.MODEL.SEM_SEG_HEAD.NORM = "SyncBN"
     c.MODEL.SEM_SEG_HEAD.PIXEL_DECODER_NAME = "MSDeformAttnPixelDecoder"
+    # replicate the published FPN operand swap (stride-8 mask features
+    # instead of the upstream Mask2Former stride-4 fusion; see
+    # models/pixel_decoder.py fpn_legacy_swap docstring)
+    c.MODEL.SEM_SEG_HEAD.FPN_LEGACY_SWAP = False
     c.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["res2", "res3", "res4", "res5"]
     c.MODEL.SEM_SEG_HEAD.DEFORMABLE_TRANSFORMER_ENCODER_IN_FEATURES = ["res3", "res4", "res5"]
     c.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4

@@ -44,6 +44,10 @@ class ModelConfig:
     # TransformerEncoderPixelDecoder are the registered alternatives.
     backbone_name: str = "build_resnet_backbone"
     pixel_decoder_name: str = "MSDeformAttnPixelDecoder"
+    # Replicate the published FPN operand swap (stride-8 mask features;
+    # pixel_decoder.MSDeformAttnPixelDecoder.fpn_legacy_swap docstring).
+    # Default False = upstream Mask2Former stride-4 fusion (finer masks).
+    fpn_legacy_swap: bool = False
     # MODEL.SEM_SEG_HEAD.NAME: only MaskFormerHead composes into this
     # meta-arch (the per-pixel baselines are standalone heads with a
     # semantic-only output contract; instantiate them directly)
@@ -126,6 +130,7 @@ def build_model_config(cfg) -> ModelConfig:
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
         dtype="bfloat16" if cfg.MODEL.MIXED_PRECESION else "float32",
         upsample2x=cfg.MODEL.MASK_FORMER.TPU_RECIPE.UPSAMPLE2X,
+        fpn_legacy_swap=bool(sh.get("FPN_LEGACY_SWAP", False)),
         remat=bool(cfg.MODEL.MASK_FORMER.TPU_RECIPE.get("REMAT", True)),
         remat_policy=str(cfg.MODEL.MASK_FORMER.TPU_RECIPE.get("REMAT_POLICY", "full")),
         **swin_kwargs,
@@ -206,6 +211,7 @@ class PCTransModel(nn.Module):
                 dtype=dtype,
                 remat=c.remat,
                 remat_policy=c.remat_policy,
+                fpn_legacy_swap=c.fpn_legacy_swap,
                 name="pixel_decoder",
             )(feats)
         else:

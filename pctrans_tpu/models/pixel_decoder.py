@@ -169,6 +169,17 @@ class MSDeformAttnPixelDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     remat_policy: str = "full"  # layers.remat_policy: full | dots
+    # As-published FPN quirk (msdeformattn.py:348): the reference swapped
+    # the upstream Mask2Former operands — `out[-1] + interpolate(cur_fpn,
+    # -> out[-1].size)` instead of `cur_fpn + interpolate(out[-1], ->
+    # cur_fpn.size)` — so its "stride-4" mask features are actually the
+    # res2 lateral DOWNSAMPLED onto the stride-8 grid.  Internally benign
+    # (the dynamic head's stride constant cancels through the rel-coord
+    # scaling, mask2former_transformer_decoder.py:654-668) but it halves
+    # the mask-rendering resolution.  Default False = the upstream
+    # Mask2Former formula (finer stride-4 masks); True replicates the
+    # published behavior bit-for-bit for checkpoint/output parity.
+    fpn_legacy_swap: bool = False
 
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]):
@@ -231,7 +242,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
             out.append(y[:, start : start + H * W].reshape(B, H, W, self.conv_dim))
             start += H * W
 
-        # FPN fusion for res2 -> stride-4 mask features
+        # FPN fusion for res2 -> stride-4 mask features (or the published
+        # stride-8 variant under fpn_legacy_swap; see the field docstring)
         for idx, name in enumerate(list(self.fpn_in_features)[::-1]):
             x = features[name].astype(dtype)
             lateral = ConvNorm(
@@ -239,10 +251,16 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 train=self.train, axis_name=self.axis_name, dtype=dtype,
                 name=f"adapter{idx}",
             )(x)
-            up = resize_bilinear(
-                jnp.moveaxis(out[-1], -1, 1), x.shape[1:3]
-            )
-            fused = lateral + jnp.moveaxis(up, 1, -1)
+            if self.fpn_legacy_swap:
+                down = resize_bilinear(
+                    jnp.moveaxis(lateral, -1, 1), out[-1].shape[1:3]
+                )
+                fused = out[-1] + jnp.moveaxis(down, 1, -1)
+            else:
+                up = resize_bilinear(
+                    jnp.moveaxis(out[-1], -1, 1), x.shape[1:3]
+                )
+                fused = lateral + jnp.moveaxis(up, 1, -1)
             fused = ConvNorm(
                 self.conv_dim, (3, 3), norm=self.norm, activation=nn.relu,
                 use_bias=(self.norm == ""), train=self.train, axis_name=self.axis_name,
