@@ -111,6 +111,58 @@ def test_criterion_pointwise_terms_match_executed_reference(rng):
     np.testing.assert_allclose(unc.numpy(), -np.abs(logits[:, None]))
 
 
+def test_refpoints_and_sem_match_executed_reference(rng):
+    import types
+
+    crit = load_ref("connectomics.model.loss.maskformer_criterion")
+    from pctrans_tpu.losses.criterion import CriterionConfig, SetCriterion
+
+    sc = SetCriterion(CriterionConfig())
+    B, Q, G = 2, 10, 4
+    coords = rng.rand(B, Q, 2).astype(np.float32)
+    centers = rng.rand(B, G, 2).astype(np.float32)
+    q4g = np.stack([rng.choice(Q, G, replace=False)
+                    for _ in range(B)]).astype(np.int32)
+    valid = np.ones((B, G), bool)
+    valid[1, 3] = False
+    num_masks = float(valid.sum())
+
+    stub = types.SimpleNamespace()
+    stub._get_src_permutation_idx = types.MethodType(
+        crit.SetCriterion._get_src_permutation_idx, stub)
+    indices = [
+        (torch.as_tensor(q4g[b][valid[b]], dtype=torch.int64),
+         torch.as_tensor(np.arange(int(valid[b].sum())), dtype=torch.int64))
+        for b in range(B)
+    ]
+    targets = [{"center_points":
+                torch.from_numpy(centers[b][valid[b]][:, None, :])}
+               for b in range(B)]
+    ref = crit.SetCriterion.loss_refpoints(
+        stub, {"reference_points": torch.from_numpy(coords)},
+        targets, indices, num_masks)
+    mine = sc._refpoints_loss(jnp.asarray(coords), jnp.asarray(centers),
+                              jnp.asarray(q4g), jnp.asarray(valid),
+                              num_masks)
+    np.testing.assert_allclose(float(mine), float(ref["loss_refpoints"]),
+                               rtol=1e-5, atol=1e-6)
+
+    # loss_sem: the reference subsamples the FG target at stride 8
+    # (maskformer_criterion.py:412-413) — feed stride-8-shaped logits so
+    # the published code runs shape-consistently (as-published it crashes
+    # against the stride-4 sem head; criterion.py module docstring)
+    H, W = 64, 48
+    fg = (rng.rand(B, H, W) > 0.6).astype(np.float32)
+    logits = rng.randn(B, H // 8, W // 8, 1).astype(np.float32)
+    ref_sem = crit.SetCriterion.loss_sem(
+        stub,
+        {"sem_mask": torch.from_numpy(logits).permute(0, 3, 1, 2)},
+        [{"fg_masks": torch.from_numpy(fg[b])} for b in range(B)])
+    mine_sem = sc._sem_loss(jnp.asarray(logits), jnp.asarray(fg))
+    np.testing.assert_allclose(float(mine_sem), float(ref_sem["loss_sem"]),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_lr_schedules_match_executed_reference():
     sched = load_ref("connectomics.engine.solver.lr_scheduler")
     from pctrans_tpu.config import get_cfg_defaults
