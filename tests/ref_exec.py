@@ -313,6 +313,39 @@ def _install_stubs() -> None:
     msda.ms_deform_attn_forward = _no_cuda
     msda.ms_deform_attn_backward = _no_cuda
 
+    # --- numexpr (missing; metrics_bbbc accelerates one boolean AND with
+    # it) — a faithful mini-evaluate: numexpr resolves variables from the
+    # CALLER's frame when no local_dict is given -------------------------
+    ne = _mk("numexpr")
+
+    def ne_evaluate(ex, local_dict=None, global_dict=None, **kw):
+        frame = sys._getframe(1)
+        ld = dict(frame.f_locals) if local_dict is None else dict(local_dict)
+        gd = frame.f_globals if global_dict is None else global_dict
+        return eval(ex, {"__builtins__": {}, "np": np, **gd}, ld)
+
+    ne.evaluate = ne_evaluate
+
+    # --- sklearn.metrics.f1_score (binary, the only sklearn use) ---------
+    skl = _mk("sklearn")
+    sklm = _mk("sklearn.metrics")
+
+    def f1_score(y_true, y_pred, **kw):
+        yt = np.asarray(y_true).ravel().astype(bool)
+        yp = np.asarray(y_pred).ravel().astype(bool)
+        tp = float(np.count_nonzero(yt & yp))
+        fp = float(np.count_nonzero(~yt & yp))
+        fn = float(np.count_nonzero(yt & ~yp))
+        denom = 2.0 * tp + fp + fn
+        return 2.0 * tp / denom if denom else 0.0
+
+    sklm.f1_score = f1_score
+
+    # --- tqdm (imported inside agg_jc_index, never iterated here) --------
+    tqdm_mod = _mk("tqdm")
+    tqdm_mod.tqdm = lambda it, *a, **k: it
+    tqdm_mod.tqdm_notebook = lambda it, *a, **k: it
+
     # --- torchvision (missing in this image; utils/misc.py imports it for
     # a single `_is_tracing()` ONNX guard) ---------------------------------
     tv = _mk("torchvision")
