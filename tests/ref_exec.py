@@ -51,6 +51,8 @@ _NAMESPACE_PKGS = (
     "connectomics.model.maskformer_block.meta_arch",
     "connectomics.engine",          # engine/__init__ hard-imports waterz
     "connectomics.engine.solver",
+    "connectomics.data",            # data/__init__ imports pyc-only modules
+    "connectomics.data.augmentation",
 )
 
 _installed = False
@@ -340,6 +342,21 @@ def _install_stubs() -> None:
         return 2.0 * tp / denom if denom else 0.0
 
     sklm.f1_score = f1_score
+
+    # --- skimage (test_augmentor only calls transform.resize when
+    # scale_factors != 1; keep it loud if reached) -------------------------
+    ski = _mk("skimage")
+    skit = _mk("skimage.transform")
+    skit.resize = lambda *a, **k: (_ for _ in ()).throw(
+        NotImplementedError("skimage.resize not stubbed"))
+    skif = _mk("skimage.filters")
+
+    def _gaussian(image, sigma=1, **kwargs):
+        from scipy.ndimage import gaussian_filter
+
+        return gaussian_filter(np.asarray(image, np.float64), sigma)
+
+    skif.gaussian = _gaussian
 
     # --- tqdm (imported inside agg_jc_index, never iterated here) --------
     tqdm_mod = _mk("tqdm")
