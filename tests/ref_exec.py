@@ -67,6 +67,16 @@ def _mk(name: str) -> types.ModuleType:
     return mod
 
 
+def _mk_if_missing(name: str):
+    """Stub only modules this image genuinely lacks — shadowing a REAL
+    installed module (e.g. imageio) would break unrelated tests that import
+    it after this harness loads."""
+    try:
+        return importlib.import_module(name), False
+    except ImportError:
+        return _mk(name), True
+
+
 def _install_stubs() -> None:
     import torch
     import torch.nn as nn
@@ -328,20 +338,20 @@ def _install_stubs() -> None:
 
     ne.evaluate = ne_evaluate
 
-    # --- sklearn.metrics.f1_score (binary, the only sklearn use) ---------
-    skl = _mk("sklearn")
-    sklm = _mk("sklearn.metrics")
+    # --- sklearn.metrics.f1_score (binary, the only sklearn use): real in
+    # this image; provide the faithful fallback only when absent ----------
+    sklm, created = _mk_if_missing("sklearn.metrics")
+    if created:
+        def f1_score(y_true, y_pred, **kw):
+            yt = np.asarray(y_true).ravel().astype(bool)
+            yp = np.asarray(y_pred).ravel().astype(bool)
+            tp = float(np.count_nonzero(yt & yp))
+            fp = float(np.count_nonzero(~yt & yp))
+            fn = float(np.count_nonzero(yt & ~yp))
+            denom = 2.0 * tp + fp + fn
+            return 2.0 * tp / denom if denom else 0.0
 
-    def f1_score(y_true, y_pred, **kw):
-        yt = np.asarray(y_true).ravel().astype(bool)
-        yp = np.asarray(y_pred).ravel().astype(bool)
-        tp = float(np.count_nonzero(yt & yp))
-        fp = float(np.count_nonzero(~yt & yp))
-        fn = float(np.count_nonzero(yt & ~yp))
-        denom = 2.0 * tp + fp + fn
-        return 2.0 * tp / denom if denom else 0.0
-
-    sklm.f1_score = f1_score
+        sklm.f1_score = f1_score
 
     # --- skimage (test_augmentor only calls transform.resize when
     # scale_factors != 1; keep it loud if reached) -------------------------
@@ -358,22 +368,27 @@ def _install_stubs() -> None:
 
     skif.gaussian = _gaussian
 
-    # --- tqdm (imported inside agg_jc_index, never iterated here) --------
-    tqdm_mod = _mk("tqdm")
-    tqdm_mod.tqdm = lambda it, *a, **k: it
-    tqdm_mod.tqdm_notebook = lambda it, *a, **k: it
+    # --- tqdm (imported inside agg_jc_index, never iterated here): real in
+    # this image; passthrough only when absent ----------------------------
+    tqdm_mod, created = _mk_if_missing("tqdm")
+    if created:
+        tqdm_mod.tqdm = lambda it, *a, **k: it
+        tqdm_mod.tqdm_notebook = lambda it, *a, **k: it
 
     # --- torchvision (missing in this image; utils/misc.py imports it for
     # a single `_is_tracing()` ONNX guard) ---------------------------------
     tv = _mk("torchvision")
     tv._is_tracing = lambda: False
 
-    # --- imageio (missing in this image; maskformer.py imports it inside
-    # instance_inference and calls imsave — an as-published landmine) ------
-    im = _mk("imageio")
-    im.imsave = lambda *a, **k: None
-    im.volsave = lambda *a, **k: None
-    im.imread = _unavailable
+    # --- imageio: REAL in this image (do not shadow it — other tests use
+    # it).  maskformer.py calls io.imsave live inside instance_inference
+    # (an as-published landmine); tests that execute that path monkeypatch
+    # imageio.imsave for their duration instead.  Stub only when absent.
+    im, created = _mk_if_missing("imageio")
+    if created:
+        im.imsave = lambda *a, **k: None
+        im.volsave = lambda *a, **k: None
+        im.imread = _unavailable
 
 
 def _install_namespace_pkgs() -> None:

@@ -110,10 +110,15 @@ def test_mask_nms_matches_reference(ref_mf, rng):
 @pytest.mark.parametrize("dataset", ["CVPPP", "BBBC"])
 def test_full_instance_inference_matches_reference(ref_mf, rng, dataset,
                                                    monkeypatch):
-    # neutralize the as-published debugger landmine (maskformer.py:306)
+    # neutralize the as-published landmines (maskformer.py:305-306): the
+    # live imsave (imageio is REAL in this image) and the debugger drop
     import pdb
 
+    import imageio
+
     monkeypatch.setattr(pdb, "set_trace", lambda *a, **k: None)
+    monkeypatch.setattr(imageio, "imsave", lambda *a, **k: None,
+                        raising=False)
     probs = _fake_probs(rng, Q=30, H=64, W=72)
     self_stub = types.SimpleNamespace(dataset_name=dataset)
     ref_seg, ref_bd = ref_mf.MaskFormer.instance_inference(
