@@ -368,6 +368,40 @@ def _install_stubs() -> None:
 
     skif.gaussian = _gaussian
 
+    # skimage.morphology / measure: scipy-backed equivalents, enough for
+    # the data-utils modules to import; the refexec tests only compare
+    # code paths that stay in numpy (border semantics of grey morphology
+    # differ subtly between skimage and scipy, so those paths are not
+    # used as oracles)
+    from scipy import ndimage as _ndi
+
+    skmo = _mk("skimage.morphology")
+
+    def _fp(image, footprint):
+        if footprint is None:
+            return _ndi.generate_binary_structure(np.asarray(image).ndim, 1)
+        return np.asarray(footprint) > 0
+
+    skmo.binary_dilation = lambda image, footprint=None, **k: \
+        _ndi.binary_dilation(image, structure=_fp(image, footprint))
+    skmo.binary_erosion = lambda image, footprint=None, **k: \
+        _ndi.binary_erosion(image, structure=_fp(image, footprint),
+                            border_value=1)
+    skmo.dilation = lambda image, footprint=None, **k: \
+        _ndi.grey_dilation(image, footprint=_fp(image, footprint))
+    skmo.erosion = lambda image, footprint=None, **k: \
+        _ndi.grey_erosion(image, footprint=_fp(image, footprint))
+
+    def _disk(radius):
+        y, x = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+        return (x * x + y * y <= radius * radius).astype(np.uint8)
+
+    skmo.disk = _disk
+    skmo.remove_small_holes = lambda ar, *a, **k: np.asarray(ar, bool)
+    skme = _mk("skimage.measure")
+    skme.label = lambda image, **k: _ndi.label(
+        image, structure=np.ones((3,) * np.asarray(image).ndim))[0]
+
     # --- tqdm (imported inside agg_jc_index, never iterated here): real in
     # this image; passthrough only when absent ----------------------------
     tqdm_mod, created = _mk_if_missing("tqdm")
