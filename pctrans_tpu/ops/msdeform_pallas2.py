@@ -23,9 +23,16 @@ v2 keeps everything sample-major in the LANE dimension:
                   is a multiple of the 8-row tile) and reduce the leading
                   dim with a broadcast multiply; no gathers, no relayouts.
 
-Grid is one step per (batch*head): the level's value map stays VMEM-
+Grid is one step per (batch*head): every level's value map stays VMEM-
 resident, per-chunk work comes from an in-kernel fori_loop, and all DMAs
-are >= 90 KB.  Levels run as separate pallas_calls and their outputs sum.
+are >= 90 KB.  All levels run inside ONE pallas_call (round 4; they were
+separate calls summed in HBM before): the per-chunk accumulator crosses
+levels in VMEM, the `loc*W - 0.5` pixel-coordinate scaling happens on the
+VPU instead of materializing per-level scaled copies, and the output is
+written once in the value dtype (bf16 at eval) instead of three f32
+buffers + adds + a trailing astype pass — at the CVPPP eval shape that
+deletes ~170 MB/encoder-layer of pure HBM marshalling (the round-3 eval
+roofline's "layout" family).
 
 The backward runs as a second Pallas kernel with the same layout (one
 grid step per batch*head, value map and all intermediates VMEM-resident):
@@ -63,37 +70,46 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _level_kernel(x_ref, y_ref, w_ref, v_ref, o_ref, *, H: int, W: int,
-                  P: int, D: int, N: int, n_chunks: int):
-    """One (batch*head) slab of one level.
+def _fused_kernel(xy_ref, w_ref, *refs, shapes, P: int, D: int, N: int,
+                  n_chunks: int):
+    """One (batch*head) slab, ALL levels.
 
-    x/y/w: [1, P, n_chunks, N] f32 pixel coords / attention weights
-    v:     [1, H*D, W] value map, rows h*D + d
-    o:     [1, n_chunks, D, N] f32
+    xy:   [1, 2*L*P, n_chunks, N] f32 NORMALIZED coords, rows (c, l, p)
+    w:    [1, L*P, n_chunks, N] f32 attention weights, rows (l, p)
+    refs: L value maps [1, H_l*D, W_l] (rows h*D + d) then the output
+          o [1, n_chunks, D, N] in the value dtype.
     """
-    v = v_ref[0]  # [H*D, W]
+    L = len(shapes)
+    v_refs = refs[:L]
+    o_ref = refs[L]
 
     def chunk_body(qc, carry):
-        acc = jnp.zeros((H, D, N), jnp.float32)
-        for p in range(P):  # static unroll; P is 4
-            x = x_ref[0, p, qc, :]                            # [N]
-            y = y_ref[0, p, qc, :]
-            w = w_ref[0, p, qc, :]
-            # tpu iota is integer-only; convert after
-            sx = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0).astype(
-                jnp.float32)
-            hx = jax.nn.relu(1.0 - jnp.abs(sx - x[None, :]))  # [W, N]
-            t = jax.lax.dot_general(                          # [H*D, N]
-                v, hx.astype(v.dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            sy = jax.lax.broadcasted_iota(jnp.int32, (H, 1, N), 0).astype(
-                jnp.float32)
-            hyw = jax.nn.relu(1.0 - jnp.abs(sy - y[None, None, :])) \
-                * w[None, None, :]                            # [H, 1, N]
-            acc = acc + t.reshape(H, D, N) * hyw
-        o_ref[0, qc, :, :] = acc.sum(axis=0)
+        acc = jnp.zeros((D, N), jnp.float32)
+        for lid, (H, W) in enumerate(shapes):  # static unroll; L is 3
+            v = v_refs[lid][0]  # [H*D, W]
+            lacc = jnp.zeros((H, D, N), jnp.float32)
+            for p in range(P):  # static unroll; P is 4
+                # pixel-coordinate scaling on the VPU (was a per-level
+                # elementwise pass in HBM)
+                x = xy_ref[0, (0 * L + lid) * P + p, qc, :] * W - 0.5  # [N]
+                y = xy_ref[0, (1 * L + lid) * P + p, qc, :] * H - 0.5
+                w = w_ref[0, lid * P + p, qc, :]
+                # tpu iota is integer-only; convert after
+                sx = jax.lax.broadcasted_iota(jnp.int32, (W, N), 0).astype(
+                    jnp.float32)
+                hx = jax.nn.relu(1.0 - jnp.abs(sx - x[None, :]))  # [W, N]
+                t = jax.lax.dot_general(                          # [H*D, N]
+                    v, hx.astype(v.dtype),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                sy = jax.lax.broadcasted_iota(jnp.int32, (H, 1, N), 0).astype(
+                    jnp.float32)
+                hyw = jax.nn.relu(1.0 - jnp.abs(sy - y[None, None, :])) \
+                    * w[None, None, :]                            # [H, 1, N]
+                lacc = lacc + t.reshape(H, D, N) * hyw
+            acc = acc + lacc.sum(axis=0)
+        o_ref[0, qc, :, :] = acc.astype(o_ref.dtype)
         return carry
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, None)
@@ -265,48 +281,42 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
         locs = jnp.pad(locs, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0),
                               (0, 0)))
         wts = jnp.pad(wts, ((0, 0), (0, pad_q), (0, 0), (0, 0), (0, 0)))
-    # [B, Lp, M, L, P, c] -> [L, B*M, P, n_chunks, N] (samples in lanes)
-    locs = jnp.transpose(locs, (3, 0, 2, 4, 1, 5)).reshape(
-        L, B * M, P, n_chunks, N, 2)
-    wts = jnp.transpose(wts, (3, 0, 2, 4, 1)).reshape(
-        L, B * M, P, n_chunks, N)
+    # [B, Lp, M, L, P, c] -> [BM, 2*L*P, n_chunks, N] rows (c, l, p),
+    # NORMALIZED (the kernel scales); [B, Lp, M, L, P] -> [BM, L*P, nc, N]
+    xy = jnp.transpose(locs, (0, 2, 5, 3, 4, 1)).reshape(
+        B * M, 2 * L * P, n_chunks, N)
+    wt = jnp.transpose(wts, (0, 2, 3, 4, 1)).reshape(
+        B * M, L * P, n_chunks, N)
 
-    interpret = _use_interpret()
-    out = jnp.zeros((B * M, n_chunks, D, N), jnp.float32)
+    v2s = []
     start = 0
-    for lid, (H, W) in enumerate(spatial_shapes):
+    for (H, W) in spatial_shapes:
         v = value[:, start : start + H * W]  # [B, HW, M, D]
         # -> [B*M, H*D, W]: rows h*D + d for the stage-2 sublane split
         v2 = jnp.transpose(v.reshape(B, H, W, M, D), (0, 3, 1, 4, 2))
-        v2 = v2.reshape(B * M, H * D, W)
-        x = locs[lid, ..., 0] * W - 0.5  # [BM, P, n_chunks, N]
-        y = locs[lid, ..., 1] * H - 0.5
-        w = wts[lid]
-
-        kern = functools.partial(_level_kernel, H=H, W=W, P=P, D=D, N=N,
-                                 n_chunks=n_chunks)
-        o = pl.pallas_call(
-            kern,
-            grid=(B * M,),
-            in_specs=[
-                pl.BlockSpec((1, P, n_chunks, N), lambda bm: (bm, 0, 0, 0)),
-                pl.BlockSpec((1, P, n_chunks, N), lambda bm: (bm, 0, 0, 0)),
-                pl.BlockSpec((1, P, n_chunks, N), lambda bm: (bm, 0, 0, 0)),
-                pl.BlockSpec((1, H * D, W), lambda bm: (bm, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, n_chunks, D, N),
-                                   lambda bm: (bm, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B * M, n_chunks, D, N),
-                                           jnp.float32),
-            interpret=interpret,
-        )(x, y, w, v2)
-        out = out + o
+        v2s.append(v2.reshape(B * M, H * D, W))
         start += H * W
 
-    # [BM, n_chunks, D, N] -> [B, Lq, M*D]
+    kern = functools.partial(_fused_kernel, shapes=tuple(spatial_shapes),
+                             P=P, D=D, N=N, n_chunks=n_chunks)
+    pnc = lambda r: pl.BlockSpec((1, r, n_chunks, N),  # noqa: E731
+                                 lambda bm: (bm, 0, 0, 0))
+    out = pl.pallas_call(
+        kern,
+        grid=(B * M,),
+        in_specs=[pnc(2 * L * P), pnc(L * P)] + [
+            pl.BlockSpec((1, H * D, W), lambda bm: (bm, 0, 0))
+            for (H, W) in spatial_shapes
+        ],
+        out_specs=pl.BlockSpec((1, n_chunks, D, N),
+                               lambda bm: (bm, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * M, n_chunks, D, N), value.dtype),
+        interpret=_use_interpret(),
+    )(xy, wt, *v2s)
+
+    # [BM, n_chunks, D, N] -> [B, Lq, M*D] (already the value dtype)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, M, D, Lp)[..., :Lq]
-    return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, Lq, M * D).astype(
-        value.dtype)
+    return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, Lq, M * D)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
