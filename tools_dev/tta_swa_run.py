@@ -66,7 +66,17 @@ def main():
     from pctrans_tpu.engine.trainer import Trainer
     from pctrans_tpu.parallel import replicate
 
-    final = [c for c in ckpt.list_checkpoints(out) if "swa" not in c][-1]
+    # orbax finalizes the last save asynchronously; the training subprocess
+    # can return a beat before checkpoint_NNNNNN lands on disk (observed
+    # once on the single-CPU host) — poll briefly instead of crashing
+    import time as _time
+    for _ in range(30):
+        finals = [c for c in ckpt.list_checkpoints(out) if "swa" not in c]
+        if finals:
+            break
+        _time.sleep(2)
+    assert finals, f"no iteration checkpoint in {out}"
+    final = finals[-1]
     swa = os.path.join(out, "checkpoint_swa")
     assert os.path.isdir(swa), f"SWA checkpoint missing in {out}"
 
