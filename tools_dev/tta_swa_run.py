@@ -71,7 +71,9 @@ def main():
     # once on the single-CPU host) — poll briefly instead of crashing
     import time as _time
     for _ in range(30):
-        finals = [c for c in ckpt.list_checkpoints(out) if "swa" not in c]
+        # basename, not path: the OUTPUT DIR name contains "swa"
+        finals = [c for c in ckpt.list_checkpoints(out)
+                  if "swa" not in os.path.basename(c)]
         if finals:
             break
         _time.sleep(2)
