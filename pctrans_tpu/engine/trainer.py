@@ -17,8 +17,10 @@ rebuilt around one jitted train step on a device mesh:
   CodaLab ``submission.h5`` (A1/<plant>/label layout, trainer.py:452-495;
   the reference copies a hardcoded personal example file — here the h5 is
   created from scratch).
-* TTA (reference builds it in test mode, trainer.py:78-81) is wired behind
-  ``INFERENCE.AUG_MODE``.
+* TTA: ``INFERENCE.AUG_MODE`` builds the TestAugmentor in test mode
+  (reference trainer.py:78-84) for construction/name parity, but the
+  instance chain calls the model directly like the reference's
+  eval_cvppp/test_cvppp do — see the note in ``predict_probs``.
 
 No ``torch.cuda.empty_cache()``-style rituals: XLA owns device memory, and
 there are no per-step host syncs to paper over.
@@ -328,23 +330,20 @@ class Trainer:
         lazily-compiled full-Q eval step — exact reference semantics
         (maskformer.py:210-219) at any training stage, while converged
         models keep the lean K-mask transfer."""
-        if self.tta is not None:
-            # flip/transpose ensemble over the full forward (reference
-            # TestAugmentor; built in test mode, trainer.py:78-81) —
-            # averaging needs real probabilities, not binarized masks.
-            # Every member runs full-Q whenever TOP_K would filter: each
-            # flipped variant independently reorders queries by peak score,
-            # so slot k of the member stacks holds DIFFERENT queries and the
-            # blend would average unrelated masks (and a lossy member would
-            # drop above-threshold instances).
-            use_full = 0 < self._top_k < self.model_config.num_queries
-
-            def fwd(x):
-                step = self._full_eval_step(None) if use_full else self._eval_step
-                p, _ = step(self.state, jnp.asarray(x))
-                return np.asarray(p)
-
-            return self.tta(fwd, np.asarray(images))
+        # NOTE on TTA: the TestAugmentor (data/tta.py) is constructed for
+        # parity (reference trainer.py:78-84 builds it in test mode and uses
+        # it to rename output files) but is deliberately NOT applied to this
+        # per-query instance chain — matching the reference, whose
+        # eval_cvppp/test_cvppp/test_bbbc call the model directly
+        # (engine/trainer.py:398-452: `self.model(volume)`, no augmentor).
+        # An earlier revision DID ensemble here; exercising it to a metric
+        # showed why that is unsound: learned queries are not
+        # flip-equivariant, so query q on a flipped image detects a
+        # DIFFERENT instance and the inverse-transformed per-query mean
+        # averages unrelated masks (measured: SBD 0.147 under mean-TTA vs
+        # 0.666 plain on the same checkpoint — runs/tta_swa_r4).  TTA
+        # remains valid and available for channel-fixed semantic outputs
+        # (the volumetric/EM path).
         binarized = threshold is not None and threshold == self._bin_threshold
         step = self._eval_step_bin if binarized else self._eval_step
         probs, peaks = step(self.state, jnp.asarray(images))

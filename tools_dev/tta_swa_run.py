@@ -7,8 +7,13 @@ command closes that:
   1. trains the synthetic CVPPP recipe (synth_cvppp_r2 conditioning) with
      SWA enabled, saving the final AND the SWA-averaged checkpoints;
   2. scores the final checkpoint plain (SBD baseline);
-  3. scores it again under ``INFERENCE.AUG_MODE mean`` flip/transpose TTA
-     (reference TestAugmentor semantics, test_augmentor.py:25-120);
+  3. scores it again under ``INFERENCE.AUG_MODE mean`` — which must now
+     MATCH the plain score: exercising the per-query flip ensemble to a
+     metric measured SBD 0.147 vs 0.666 plain (queries are not
+     flip-equivariant, so the inverse-transformed mean averages unrelated
+     instances), and the reference never applies its TestAugmentor to the
+     instance paths either (trainer.py:398-452 call the model directly);
+     predict_probs therefore no longer ensembles on instance chains;
   4. scores the SWA checkpoint (reference trainer.py:666-693).
 
 All evals run the full chain: predict_probs -> instance_inference_cvppp ->
@@ -100,15 +105,19 @@ def main():
         print(name, results[name], flush=True)
 
     tr_tta = make_trainer("mean")
-    assert tr_tta.tta is not None
+    assert tr_tta.tta is not None  # constructed for parity...
     tr_tta.state = replicate(tr_tta.mesh,
                              ckpt.restore_checkpoint(final, tr_tta.state))
-    results["tta_mean"] = tr_tta.eval_cvppp(model_name="tta_swa:tta_mean")
-    print("tta_mean", results["tta_mean"], flush=True)
+    results["aug_mode_mean"] = tr_tta.eval_cvppp(model_name="tta_swa:aug")
+    print("aug_mode_mean", results["aug_mode_mean"], flush=True)
+    # ...but NOT applied: AUG_MODE must leave instance eval unchanged
+    assert abs(results["aug_mode_mean"]["SBD"]
+               - results["plain"]["SBD"]) < 1e-9, results
 
     results["meta"] = {"iters": args.iters, "swa_start": swa_start,
                        "final_checkpoint": os.path.basename(final),
-                       "tta_mode": "mean (flip/transpose ensemble)"}
+                       "aug_mode": "mean (constructed, not applied to the "
+                                   "instance chain — reference behavior)"}
     with open(os.path.join(out, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
