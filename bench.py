@@ -72,15 +72,20 @@ _PEAK_TFLOPS = {"v4": 275.0, "v5 lite": 197.0, "v5e": 197.0,
                 "v5p": 459.0, "v6 lite": 918.0, "v6e": 918.0}
 
 # relay-dead jax.devices() hangs forever; bound it (env-overridable so the
-# error path is testable without the full retry budget).  Short attempts
-# with more retries: r03 lost 360 s to two 180 s hangs on a relay that
-# wedges-then-recovers, so each attempt is now 70 s (a healthy probe
-# answers in <5 s; a wedged one never does).  Worst-case probe budget
-# (4*70 + 3*15 = 325 s) stays well under BENCH_DEADLINE_S (570) so a dead
-# relay still yields the structured "backend-init" line before the
+# error path is testable without the full retry budget).  The attempt
+# timeouts ESCALATE (70/100/130 s): a healthy probe answers in <5 s and a
+# dead relay never does, but a live-but-slow relay has been observed
+# answering at ~94 s (BENCH_r03 attempt 3: backend up 94 s into a 180 s
+# attempt) — a flat 70 s ladder kills that probe forever, and 2026-08-20
+# morning showed exactly that failure shape (outer 75 s probe green,
+# four 70 s attempts all dead).  Worst-case probe budget
+# (70+100+130 + 2*15 = 330 s) stays well under BENCH_DEADLINE_S (570) so a
+# dead relay still yields the structured "backend-init" line before the
 # watchdog (armed from the start, see main()) or the driver kill at ~600 s.
-PROBE_TIMEOUT_S = int(os.environ.get("BENCH_PROBE_TIMEOUT_S", 70))
-PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 4))
+_LADDER = os.environ.get("BENCH_PROBE_TIMEOUT_S", "70,100,130")
+PROBE_TIMEOUTS_S = [int(t) for t in _LADDER.split(",")]
+PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS",
+                                    len(PROBE_TIMEOUTS_S)))
 PROBE_BACKOFF_S = int(os.environ.get("BENCH_PROBE_BACKOFF_S", 15))
 
 
@@ -324,18 +329,20 @@ def _probe_backend():
     for attempt in range(1, PROBE_ATTEMPTS + 1):
         # heartbeat per attempt: keeps the supervisor's stall timer (210 s)
         # from killing a child that is legitimately waiting out the probe's
-        # own 150 s timeout + 30 s backoff
-        _status("backend probe attempt %d/%d" % (attempt, PROBE_ATTEMPTS))
+        # own timeout + backoff
+        timeout_s = PROBE_TIMEOUTS_S[min(attempt, len(PROBE_TIMEOUTS_S)) - 1]
+        _status("backend probe attempt %d/%d (timeout %ds)"
+                % (attempt, PROBE_ATTEMPTS, timeout_s))
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S)
+                capture_output=True, text=True, timeout=timeout_s)
             if r.returncode == 0:
                 return True, r.stdout.strip()
             last = (r.stderr or r.stdout).strip().splitlines()[-1][-300:] \
                 if (r.stderr or r.stdout).strip() else f"rc={r.returncode}"
         except subprocess.TimeoutExpired:
-            last = f"jax.devices() timed out after {PROBE_TIMEOUT_S}s (relay down?)"
+            last = f"jax.devices() timed out after {timeout_s}s (relay down?)"
         if attempt < PROBE_ATTEMPTS:
             time.sleep(PROBE_BACKOFF_S)
     return False, last
