@@ -3,17 +3,22 @@
 Measures steady-state images/sec of the flagship PCTrans model under BOTH
 reference evaluation protocols:
 
-* CVPPP (the headline `value`): 530x500 images, batch 10, 100 queries —
-  the CVPPP val loader shape (reference connectomics/data/dataset/
-  build.py:361-362, engine/trainer.py:404), bf16 activations
-  (MODEL.MIXED_PRECESION, trainer.py:140), INFERENCE.TOP_K=50 lean mask
-  upsampling (exact w.r.t. the 0.69-threshold protocol; see
-  engine/state.make_eval_step).
-* BBBC (`bbbc_inference_throughput`): 520x696 images, batch 2, 300
-  queries, full-Q upsampling — the BBBC test protocol (reference
-  scripts/eval.py:25-41, dataset_BBBC.py:179-187).  No TOP_K: the BBBC
-  postprocess threshold is 0.05 (maskformer.py:308-342), which most
-  queries clear, so the lean filter is not exact there.
+* CVPPP: 530x500 images, batch 10, 100 queries — the CVPPP val loader
+  shape (reference connectomics/data/dataset/build.py:361-362,
+  engine/trainer.py:404), bf16 activations (MODEL.MIXED_PRECESION,
+  trainer.py:140), INFERENCE.TOP_K=50 lean mask upsampling (exact w.r.t.
+  the 0.69-threshold protocol; see engine/state.make_eval_step).  The
+  headline ``value`` is the END-TO-END protocol rate
+  (``cvppp_e2e_img_per_sec``): model forward + the full instance
+  postprocess (device-resident; inference/device_postprocess.py) +
+  label-map fetch, pipelined as in the trainer.  The forward-only device
+  rate is reported separately as ``cvppp_forward_img_per_sec``.
+* BBBC: 520x696 images, batch 2, 300 queries, full-Q upsampling — the
+  BBBC test protocol (reference scripts/eval.py:25-41,
+  dataset_BBBC.py:179-187).  No TOP_K: the BBBC postprocess threshold is
+  0.05 (maskformer.py:308-342), which most queries clear, so the lean
+  filter is not exact there.  ``bbbc_e2e_img_per_sec`` /
+  ``bbbc_forward_img_per_sec`` mirror the CVPPP split.
 
 Timing methodology (see BASELINE.md): eval iterations run *inside one
 jitted fori_loop* with a scalar data dependency between them and a single
@@ -465,11 +470,11 @@ def kernel_check() -> str:
     return "msdeform: %s; msdeform-bwd: %s; render: %s" % (msda, bwd, render)
 
 
-def _make_state_and_eval(num_queries: int, top_k, dtype: str):
+def _make_state(num_queries: int, dtype: str):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from pctrans_tpu.engine.state import TrainState, make_eval_step
+    from pctrans_tpu.engine.state import TrainState
     from pctrans_tpu.models import PCTransModel, ModelConfig
 
     config = ModelConfig(dtype=dtype, num_queries=num_queries)
@@ -483,6 +488,13 @@ def _make_state_and_eval(num_queries: int, top_k, dtype: str):
         batch_stats=variables.get("batch_stats", {}),
         opt_state=None,
     )
+    return state, config
+
+
+def _make_state_and_eval(num_queries: int, top_k, dtype: str):
+    from pctrans_tpu.engine.state import make_eval_step
+
+    state, config = _make_state(num_queries, dtype)
     return state, make_eval_step(config, top_k=top_k)
 
 
@@ -532,6 +544,90 @@ def bench_inference(B: int, H: int, W: int, num_queries: int = 100,
     dt = _timed_loop(loop, iters)
     _status("inference bench: done (%.1f img/s)" % (B / dt))
     return B / dt, flops / B if flops else None
+
+
+def bench_e2e(B: int, H: int, W: int, num_queries: int, top_k, dataset: str,
+              dtype: str = "bfloat16", n_batches: int = 16,
+              labels_to_host: bool = True):
+    """END-TO-END protocol throughput: model forward + the full
+    instance_inference chain (threshold, area filter, dice clustering,
+    [NMS,] ascending-area painting) — the loop the reference protocol
+    times (maskformer.py:267-346 called per image from trainer.py:398-450).
+
+    Runs the production path: forward+binarize+stats in one jitted program,
+    host greedy loops on [K]/[K,K] stats, device merge+paint
+    (inference/device_postprocess.py), batches pipelined four-stage exactly as
+    ``Trainer._label_pipeline`` does.  Wall-clock timed — host work and
+    device<->host transfers are IN the measurement, unlike the forward-only
+    fields.  The TOP_K lossiness fallback is bypassed (a random-init model
+    would trigger it every batch; a converged model almost never does) —
+    the forward program is the same one the trainer dispatches.
+
+    ``labels_to_host=False`` measures the device-resident variant: the
+    label maps are produced and consumed on device (per-batch checksum,
+    one final tiny fetch) instead of shipping [B, H, W] maps through this
+    environment's ~20 MB/s TPU relay — the rate a local-attach TPU host
+    (PCIe, ~16 GB/s: <1 ms/batch) would see.  Both numbers are honest;
+    they differ only by the relay's artificial transfer floor, documented
+    in BASELINE.md.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pctrans_tpu.engine.state import make_eval_step
+    from pctrans_tpu.inference.device_postprocess import (
+        DevicePostprocessor, pipeline_batches)
+
+    thr = 0.05 if dataset == "bbbc" else 0.69
+    _status(f"e2e bench {dataset} B={B} {H}x{W} Q={num_queries} "
+            f"to_host={labels_to_host}: init")
+    state, config = _make_state(num_queries, dtype)
+    step = jax.jit(make_eval_step(config, top_k=top_k, threshold=thr,
+                                  with_stats=True))
+    post = DevicePostprocessor(dataset)
+    x = jax.device_put(jnp.asarray(
+        np.random.RandomState(0).randn(B, H, W, 3), jnp.float32))
+
+    from pctrans_tpu.inference.device_postprocess import (
+        copy_to_host_async, unpack_mask_stats)
+
+    def dispatch(_b, _v):
+        masks, stats = step(state, x)
+        copy_to_host_async(stats)  # one packed [B,K,K+2] array
+        return masks, stats
+
+    def cluster(_b, h):
+        masks, stats = h
+        areas, inter, _peaks = unpack_mask_stats(np.asarray(stats))
+        return post.start(masks, areas, inter)
+
+    def paint(_b, pending):
+        labels = post.finish(pending)
+        if labels_to_host:
+            return labels
+        check = labels.astype(jnp.int32).sum()
+        copy_to_host_async(check)
+        return check
+
+    def collect(_b, r):
+        if labels_to_host:
+            return np.asarray(r).shape[0]
+        int(r)  # landed checksum — forces this batch's paint completed
+        return B
+
+    stages = (dispatch, cluster, paint, collect)
+
+    _status("e2e bench: compiling forward+stats / merge / paint programs")
+    for _ in pipeline_batches([0], *stages):  # compile all + host path
+        pass
+    _status("e2e bench: measuring")
+    t0 = time.perf_counter()
+    done = 0
+    for _, n in pipeline_batches(range(n_batches), *stages):
+        done += n
+    dt = time.perf_counter() - t0
+    _status("e2e bench: done (%.1f img/s)" % (done / dt))
+    return done / dt
 
 
 def bench_train(dtype: str = "bfloat16", iters: int = 5):
@@ -664,10 +760,29 @@ def main():
         sys.exit(3)
     _checkpoint()
 
+    # Quick pre-measurement (2 iters) immediately after the gates: even a
+    # ~60 s live relay window then records a nonzero ``value`` (round-4
+    # verdict item 7); the full phases refine it below.
+    try:
+        quick_ips, _ = bench_inference(B=10, H=530, W=500, num_queries=100,
+                                       top_k=50, iters=2)
+        out["value"] = round(quick_ips, 3)
+        out["value_definition"] = (
+            "QUICK 2-iter model-forward pre-measurement; refined by the "
+            "full phases below if the window allows")
+    except Exception as e:
+        out["cvppp_quick_error"] = str(e)[-300:]
+    _checkpoint()
+
     try:
         img_per_sec, flops_per_img = bench_inference(B=10, H=530, W=500,
                                                      num_queries=100, top_k=50)
+        out["cvppp_forward_img_per_sec"] = round(img_per_sec, 3)
         out["value"] = round(img_per_sec, 3)
+        out["value_definition"] = (
+            "model forward only (eval_step: backbone->decoder->top-k->"
+            "upsample->binarize); protocol e2e incl. instance postprocess "
+            "is cvppp_e2e_img_per_sec")
         out["vs_baseline"] = round(img_per_sec / REFERENCE_A100_IMG_PER_SEC, 3)
         out["vs_baseline_basis"] = (
             "estimated A100 %.0f img/s (BASELINE.md 'Reference denominator');"
@@ -681,6 +796,33 @@ def main():
         # record and continue: the remaining phases are independent programs
         # and their fields are no less valuable when the headline fails
         out["cvppp_error"] = str(e)[-300:]
+    _checkpoint()
+
+    # End-to-end CVPPP protocol rate: forward + device instance postprocess
+    # + label-map fetch, pipelined — the honest protocol number (the
+    # reference's own measurement plan times forward + instance_inference).
+    # On success this REPLACES the headline ``value``.
+    try:
+        e2e_dev = bench_e2e(B=10, H=530, W=500, num_queries=100, top_k=50,
+                            dataset="cvppp", labels_to_host=False)
+        out["cvppp_e2e_device_img_per_sec"] = round(e2e_dev, 3)
+    except Exception as e:
+        out["cvppp_e2e_device_error"] = str(e)[-300:]
+    _checkpoint()
+
+    try:
+        e2e_ips = bench_e2e(B=10, H=530, W=500, num_queries=100, top_k=50,
+                            dataset="cvppp")
+        out["cvppp_e2e_img_per_sec"] = round(e2e_ips, 3)
+        out["value"] = round(e2e_ips, 3)
+        out["value_definition"] = (
+            "END-TO-END CVPPP protocol: model forward + full instance "
+            "postprocess (threshold/cluster/NMS/paint) + label-map fetch, "
+            "batches pipelined as in Trainer._label_pipeline; forward-only "
+            "rate is cvppp_forward_img_per_sec")
+        out["vs_baseline"] = round(e2e_ips / REFERENCE_A100_IMG_PER_SEC, 3)
+    except Exception as e:
+        out["cvppp_e2e_error"] = str(e)[-300:]
     _checkpoint()
 
     try:
@@ -702,6 +844,9 @@ def main():
     try:
         bbbc_ips, bbbc_flops = bench_inference(B=2, H=520, W=696,
                                                num_queries=300, top_k=None)
+        out["bbbc_forward_img_per_sec"] = round(bbbc_ips, 3)
+        # kept under the historical name too: rounds 1-4 recorded the
+        # forward-only rate under bbbc_inference_throughput
         out["bbbc_inference_throughput"] = round(bbbc_ips, 3)
         if bbbc_flops:
             peak = _device_peak_tflops() * 1e12
@@ -709,6 +854,17 @@ def main():
             out["bbbc_mfu"] = round(bbbc_flops * bbbc_ips / peak, 4)
     except Exception as e:
         out["bbbc_error"] = str(e)[-300:]
+    _checkpoint()
+
+    try:
+        bbbc_dev = bench_e2e(B=2, H=520, W=696, num_queries=300, top_k=None,
+                             dataset="bbbc", labels_to_host=False)
+        out["bbbc_e2e_device_img_per_sec"] = round(bbbc_dev, 3)
+        bbbc_e2e = bench_e2e(B=2, H=520, W=696, num_queries=300, top_k=None,
+                             dataset="bbbc")
+        out["bbbc_e2e_img_per_sec"] = round(bbbc_e2e, 3)
+    except Exception as e:
+        out["bbbc_e2e_error"] = str(e)[-300:]
 
     _WATCHDOG_DISARM.set()
     if out["value"] is None:

@@ -105,7 +105,8 @@ def make_train_step(
 
 
 def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None,
-                   threshold: Optional[float] = None) -> Callable:
+                   threshold: Optional[float] = None,
+                   with_stats: bool = False) -> Callable:
     """Returns eval_step(state, images) following the reference protocol
     (arch/maskformer.py:210-219): mask logits upsampled to input resolution,
     then sigmoid.
@@ -127,11 +128,25 @@ def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None,
     (instance_inference_*, mask_post, merge_func) re-thresholds
     ``probs > t`` anyway, and uint8 quarters the device->host transfer
     (~530 MB of f32 per CVPPP eval batch over this environment's relay).
+
+    With ``with_stats`` (requires ``threshold``), the per-mask areas, the
+    K x K intersection matrix and the peak logits are computed in the SAME
+    program (bf16 MXU matmul, integer-exact) and packed into ONE f32 array
+    — the step returns ``(masks_u8, stats [B, K, K+2])`` (unpack with
+    ``device_postprocess.unpack_mask_stats``).  The device-resident
+    instance postprocess consumes the stats on the host while the masks
+    stay on device; one packed array = one landed host fetch per batch.
     """
+    if with_stats and threshold is None:
+        raise ValueError("with_stats requires a binarize threshold")
     model = PCTransModel(config=model_config, train=False)
     from ..ops.resize import resize_bilinear
 
     def eval_step(state: TrainState, images: jnp.ndarray):
+        # images may arrive in the f16 transfer dtype (halves host->device
+        # bytes through the remote-TPU relay, same rule as the train step);
+        # widen on device before any compute
+        images = images.astype(jnp.float32)
         variables = {"params": state.params, "frozen": state.frozen}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -150,7 +165,12 @@ def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None,
             import math as _math
 
             logit_t = _math.log(threshold / (1.0 - threshold))
-            return (masks > logit_t).astype(jnp.uint8), peaks
+            masks_bin = (masks > logit_t).astype(jnp.uint8)
+            if with_stats:
+                from ..inference.device_postprocess import packed_mask_stats
+
+                return masks_bin, packed_mask_stats(masks_bin, extra=peaks)
+            return masks_bin, peaks
         return jax.nn.sigmoid(masks), peaks
 
     return eval_step

@@ -9,8 +9,10 @@ rebuilt around one jitted train step on a device mesh:
   in-training ``validate()`` with best-checkpoint tracking
   (trainer.py:321-396,388-390) and optional SWA parameter averaging
   (trainer.py:666-693).
-* ``validate()`` / ``eval_cvppp()`` — batched inference + host postprocess
-  + SBD / |DiC| (trainer.py:398-450), results appended to ``logging.txt``.
+* ``validate()`` / ``eval_cvppp()`` — pipelined batched inference with the
+  DEVICE-resident instance postprocess (inference/device_postprocess.py:
+  pixel work on TPU, greedy loops on host) + SBD / |DiC|
+  (trainer.py:398-450), results appended to ``logging.txt``.
 * ``test_bbbc()`` — AJI / pixel-F1 / detection-F1 / PQ over the test set
   (trainer.py:497-573).
 * ``test_cvppp()`` — official CVPPP test set -> merge_func cleanup ->
@@ -43,7 +45,7 @@ from ..engine.solver import build_lr_schedule, build_optimizer
 from ..engine.state import TrainState, init_state, make_eval_step, make_train_step
 from ..inference import metrics_bbbc as mb
 from ..inference import metrics_cvppp as mc
-from ..inference.postprocess import instance_inference_bbbc, instance_inference_cvppp
+from ..inference.device_postprocess import DevicePostprocessor, pipeline_batches
 from ..losses import build_criterion
 from ..models import build_model_config
 from ..parallel import create_mesh, replicate, shard_batch
@@ -132,6 +134,11 @@ class Trainer:
         # lazily-compiled full-Q fallbacks for batches where TOP_K proved
         # lossy (see predict_probs); dict keyed by binarize threshold
         self._eval_step_full: Dict[Optional[float], Callable] = {}
+        # device-resident instance postprocess (the production eval tail):
+        # eval steps that also emit mask stats, keyed by (threshold, full_q),
+        # plus per-dataset postprocessors
+        self._stats_steps: Dict[tuple, Callable] = {}
+        self._device_post: Dict[str, DevicePostprocessor] = {}
 
         if mode == "train":
             self.monitor = build_monitor(cfg)
@@ -271,11 +278,10 @@ class Trainer:
 
             batch = next(iter(self._val_loader))
             bbbc = self.cfg.DATASET.DATA_TYPE in ("BBBC", "synthetic_bbbc")
-            thr = 0.05 if bbbc else 0.69
-            probs = self.predict_probs(batch["image"], threshold=thr)
-            fn = instance_inference_bbbc if bbbc else instance_inference_cvppp
-            n = min(2, int(batch.get("_num_valid", probs.shape[0])))
-            preds = np.stack([fn(probs[b]).astype(np.int32) for b in range(n)])
+            labels = self.predict_labels(batch["image"],
+                                         "bbbc" if bbbc else "cvppp")
+            n = min(2, int(batch.get("_num_valid", labels.shape[0])))
+            preds = labels[:n].astype(np.int32)
             labels = batch["label"][:n] if "label" in batch else None
             vis = Visualizer(self.output_dir, tb_writer=self.monitor.tb)
             vis.visualize(iteration, batch["image"][:n], labels, preds)
@@ -364,13 +370,88 @@ class Trainer:
                 make_eval_step(self.model_config, top_k=None, threshold=key))
         return self._eval_step_full[key]
 
+    # ----------------------------------------------------- device postprocess
+    def _stats_step(self, threshold: float, full_q: bool = False) -> Callable:
+        """Eval step that binarizes on device AND emits mask statistics
+        (areas + K x K intersections) in the same program."""
+        key = (threshold, full_q)
+        if key not in self._stats_steps:
+            tk = None if full_q else (self._top_k or None)
+            self._stats_steps[key] = jax.jit(make_eval_step(
+                self.model_config, top_k=tk, threshold=threshold,
+                with_stats=True))
+        return self._stats_steps[key]
+
+    def _post(self, dataset: str) -> DevicePostprocessor:
+        if dataset not in self._device_post:
+            self._device_post[dataset] = DevicePostprocessor(dataset)
+        return self._device_post[dataset]
+
+    def _dispatch_labels(self, images: np.ndarray, threshold: float):
+        """Async-dispatch the forward + binarize + stats program.  Images
+        go over in the f16 transfer dtype under mixed precision (the train
+        loop's rule — halves the ~32 MB/batch host->device copy through
+        this environment's ~20 MB/s relay) and the tiny stats start their
+        host copies immediately so ``_finish_labels`` finds them landed."""
+        from ..inference.device_postprocess import copy_to_host_async
+
+        img_dtype = (np.float16 if self.model_config.dtype == "bfloat16"
+                     else np.float32)
+        masks, stats = self._stats_step(threshold)(
+            self.state, jnp.asarray(np.asarray(images).astype(img_dtype)))
+        copy_to_host_async(stats)  # one packed [B,K,K+2] array, ~100 KB
+        return masks, stats
+
+    def _cluster_stage(self, handles, images, threshold: float, dataset: str):
+        """Pipeline stage: TOP_K-lossiness check (same exactness contract as
+        predict_probs) on the landed packed stats, then greedy clustering +
+        tail dispatch via DevicePostprocessor.start."""
+        from ..inference.device_postprocess import unpack_mask_stats
+
+        masks, stats = handles
+        areas, inter, peaks = unpack_mask_stats(np.asarray(stats))
+        if masks.shape[1] < self.model_config.num_queries:
+            peak_p = 1.0 / (1.0 + np.exp(-peaks[:, -1]))
+            if (peak_p > threshold).any():
+                masks, stats = self._stats_step(
+                    threshold, full_q=True)(self.state, jnp.asarray(images))
+                areas, inter, peaks = unpack_mask_stats(np.asarray(stats))
+        return self._post(dataset).start(masks, areas, inter)
+
+    def predict_labels(self, images: np.ndarray,
+                       dataset: Optional[str] = None) -> np.ndarray:
+        """images [B, H, W, 3] -> painted instance label maps [B, H, W] i16
+        via the device-resident postprocess (instance_inference semantics,
+        maskformer.py:267-346; pixel work on TPU, greedy loops on host)."""
+        if dataset is None:
+            dataset = ("bbbc" if self.cfg.DATASET.DATA_TYPE
+                       in ("BBBC", "synthetic_bbbc") else "cvppp")
+        thr = 0.05 if dataset == "bbbc" else 0.69
+        pending = self._cluster_stage(self._dispatch_labels(images, thr),
+                                      images, thr, dataset)
+        return np.asarray(self._post(dataset).finish(pending))
+
+    def _label_pipeline(self, loader, dataset: str):
+        """Pipelined (batch, labels) stream — four stages each one batch
+        apart (forward dispatch / clustering + merge dispatch / NMS + paint
+        dispatch / label collect), so every host read hits an already-landed
+        async copy and the TPU queue never drains.  The reference eval loop
+        is strictly serial (trainer.py:398-450)."""
+        thr = 0.05 if dataset == "bbbc" else 0.69
+        return pipeline_batches(
+            loader,
+            lambda b, _: self._dispatch_labels(b["image"], thr),
+            lambda b, h: self._cluster_stage(h, b["image"], thr, dataset),
+            lambda b, p: self._post(dataset).finish(p),
+            lambda b, lab: np.asarray(lab),
+        )
+
     def eval_cvppp(self, loader=None, model_name: str = "model") -> Dict[str, float]:
         loader = loader or build_dataloader(self.cfg, "val")
         sbd_all, diff_all, n = 0.0, 0.0, 0
-        for batch in loader:
-            probs = self.predict_probs(batch["image"], threshold=0.69)
-            for b in range(int(batch.get("_num_valid", probs.shape[0]))):
-                seg = instance_inference_cvppp(probs[b]).astype(np.uint16)
+        for batch, labels in self._label_pipeline(loader, "cvppp"):
+            for b in range(int(batch.get("_num_valid", labels.shape[0]))):
+                seg = labels[b].astype(np.uint16)
                 if "fg" in batch:
                     seg = seg * (batch["fg"][b] > 0).astype(np.uint16)
                 gt = batch["label"][b].astype(np.uint16)
@@ -398,10 +479,9 @@ class Trainer:
 
         loader = loader or iter(build_dataloader(self.cfg, "test"))
         segs, names = [], []
-        for batch in loader:
-            probs = self.predict_probs(batch["image"], threshold=0.69)
-            for b in range(int(batch.get("_num_valid", probs.shape[0]))):
-                seg = instance_inference_cvppp(probs[b]).astype(np.int32)
+        for batch, labels in self._label_pipeline(loader, "cvppp"):
+            for b in range(int(batch.get("_num_valid", labels.shape[0]))):
+                seg = labels[b].astype(np.int32)
                 if "fg" in batch:
                     seg = seg * (batch["fg"][b] > 0).astype(np.int32)
                 segs.append(merge_func(seg).astype(np.uint8))
@@ -419,10 +499,9 @@ class Trainer:
     def test_bbbc(self, loader=None, model_name: str = "model") -> Dict[str, float]:
         loader = loader or build_dataloader(self.cfg, "test")
         aji, dice, f1, pq = [], [], [], []
-        for batch in loader:
-            probs = self.predict_probs(batch["image"], threshold=0.05)
-            for b in range(int(batch.get("_num_valid", probs.shape[0]))):
-                seg = instance_inference_bbbc(probs[b])
+        for batch, labels in self._label_pipeline(loader, "bbbc"):
+            for b in range(int(batch.get("_num_valid", labels.shape[0]))):
+                seg = labels[b]
                 gt = mb.remap_label(batch["label"][b], by_size=False)
                 pred = mb.remap_label(seg, by_size=False)
                 aji.append(mb.agg_jc_index(gt, pred))

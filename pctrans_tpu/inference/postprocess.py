@@ -11,10 +11,12 @@ with argmax (first-max wins on overlap).
 BBBC: sigmoid > 0.05 -> drop area <= 40 -> ``mask_post(0.15, 0.25)`` without
 re-binarization (merged masks stay fractional) -> paint by ascending area.
 
-The greedy loops operate on Q x Q matrices (tiny); all pixel-level work
-(pairwise dice, intersections, painting) is vectorized and can also be
-produced on-device by :func:`pctrans_tpu.engine.infer` to avoid shipping
-full-resolution masks to the host.
+The greedy loops operate on Q x Q matrices (tiny) and are exposed as
+stats-level helpers (``clusters_from_dice``, ``nms_keep``) shared with the
+production device path (:mod:`pctrans_tpu.inference.device_postprocess`),
+which runs every pixel-scale step — thresholding, intersections, merging,
+painting — on the TPU and ships only [K] / [K, K] statistics and the final
+label map to the host.  This module is the self-contained numpy oracle.
 
 The reference leaves an ``io.imsave`` + ``pdb.set_trace()`` inside the CVPPP
 path (maskformer.py:305-306) — an as-published landmine, not reproduced.
@@ -36,21 +38,15 @@ def pairwise_dice_binary(masks: np.ndarray) -> np.ndarray:
     return (2.0 * inter + 1.0) / (sums[:, None] + sums[None, :] + 1.0)
 
 
-def mask_post(
-    inst_masks: np.ndarray,
-    thres1: float,
-    thres2: float,
-    bd_flag: bool = False,
-    dice: Optional[np.ndarray] = None,
-) -> np.ndarray:
-    """Greedy dice-similarity clustering + mean merge (maskformer.py:403-431).
+def clusters_from_dice(dice: np.ndarray, thres1: float) -> List[List[int]]:
+    """Greedy dice-similarity clustering (maskformer.py:403-418).
 
     Iterates mask indices in order; an index already absorbed into any
     earlier cluster cannot seed a new one, but can appear again as a member
-    (faithful to the reference's flat ``clutering_list``).
+    (faithful to the reference's flat ``clutering_list``).  Operates purely
+    on the K x K dice matrix so the device path can reuse it on
+    device-computed statistics without the masks ever reaching the host.
     """
-    if dice is None:
-        dice = pairwise_dice_binary(inst_masks)
     n = dice.shape[0]
     clustered: set = set()
     clusters: List[List[int]] = []
@@ -60,6 +56,28 @@ def mask_post(
         members = np.where(dice[i] > thres1)[0].tolist()
         clustered.update(members)
         clusters.append(members)
+    return clusters
+
+
+def dice_from_stats(areas: np.ndarray, inter: np.ndarray) -> np.ndarray:
+    """Pairwise dice from per-mask areas [K] and intersections [K, K] —
+    identical values to :func:`pairwise_dice_binary` (integer-exact inputs,
+    same f32 arithmetic), without needing the masks themselves."""
+    a = areas.astype(np.float32)
+    return (2.0 * inter.astype(np.float32) + 1.0) / (a[:, None] + a[None, :] + 1.0)
+
+
+def mask_post(
+    inst_masks: np.ndarray,
+    thres1: float,
+    thres2: float,
+    bd_flag: bool = False,
+    dice: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Greedy dice clustering + mean merge (maskformer.py:403-431)."""
+    if dice is None:
+        dice = pairwise_dice_binary(inst_masks)
+    clusters = clusters_from_dice(dice, thres1)
 
     merged = []
     for members in clusters:
@@ -78,15 +96,16 @@ def comput_mmi(area_a: float, area_b: float, intersect: float) -> float:
     return max(intersect / area_a, intersect / area_b)
 
 
-def mask_nms(masks: np.ndarray, scores: np.ndarray, thres: float = 0.3) -> np.ndarray:
-    """Greedy MMI-based suppression (maskformer.py:357-390)."""
+def nms_keep(
+    areas: np.ndarray, inter: np.ndarray, scores: np.ndarray, thres: float
+) -> List[int]:
+    """Greedy MMI-based suppression on mask statistics (maskformer.py:357-390);
+    returns the kept indices in keep order.  Shared by the numpy and device
+    paths — the greedy semantics live in exactly one place."""
     order = np.argsort(scores)[::-1].tolist()
-    n = masks.shape[0]
+    n = areas.shape[0]
     suppressed = np.zeros(n, dtype=bool)
-    flat = masks.reshape(n, -1).astype(np.float32)
-    areas = flat.sum(axis=1)
-    inter = flat @ flat.T
-    keep = []
+    keep: List[int] = []
     for i in range(n):
         idx = order[i]
         if suppressed[idx]:
@@ -99,7 +118,16 @@ def mask_nms(masks: np.ndarray, scores: np.ndarray, thres: float = 0.3) -> np.nd
             mmi = comput_mmi(areas[idx], areas[jdx], inter[idx, jdx])
             if mmi >= thres:
                 suppressed[jdx] = True
-    return masks[keep]
+    return keep
+
+
+def mask_nms(masks: np.ndarray, scores: np.ndarray, thres: float = 0.3) -> np.ndarray:
+    """Greedy MMI-based suppression (maskformer.py:357-390)."""
+    n = masks.shape[0]
+    flat = masks.reshape(n, -1).astype(np.float32)
+    areas = flat.sum(axis=1)
+    inter = flat @ flat.T
+    return masks[nms_keep(areas, inter, scores, thres)]
 
 
 def paint_ascending_area(masks: np.ndarray, out_dtype=np.int16) -> np.ndarray:

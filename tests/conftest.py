@@ -75,3 +75,41 @@ if shutil.which("make") and shutil.which(os.environ.get("CXX", "g++")):
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+# ---------------------------------------------------------------- test tiers
+# The suite is two-tiered (pytest.ini addopts defaults to the FAST tier):
+# round-4 review flagged 2.6x warm-suite growth in one round (343 tests/354 s
+# -> 388/918 s), heading for driver-window timeouts.  The banner below makes
+# the tier split visible on every run, and the session hook warns when the
+# fast tier overruns its budget so growth is caught in review, not in a
+# timed-out CI window.
+FAST_TIER_BUDGET_S = 450  # warm-cache, this single-CPU host
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = sum(1 for it in items if it.get_closest_marker("slow"))
+    deselected = " (deselected by default -m 'not slow')" \
+        if config.getoption("-m") == "not slow" else ""
+    print(f"\n[conftest] tiers: {len(items) - slow} fast / {slow} slow "
+          f"collected{deselected}; fast-tier budget {FAST_TIER_BUDGET_S}s warm")
+
+
+def pytest_sessionstart(session):
+    session._tier_t0 = __import__("time").perf_counter()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import time as _time
+
+    elapsed = _time.perf_counter() - getattr(session, "_tier_t0",
+                                             _time.perf_counter())
+    if (session.config.getoption("-m") == "not slow"
+            and elapsed > FAST_TIER_BUDGET_S):
+        import warnings
+
+        warnings.warn(
+            f"[conftest] FAST tier took {elapsed:.0f}s > budget "
+            f"{FAST_TIER_BUDGET_S}s (warm?). Move new heavyweight tests to "
+            "@pytest.mark.slow or raise the budget deliberately.",
+            stacklevel=0)

@@ -151,6 +151,7 @@ class TestFullModel:
         assert np.isfinite(np.asarray(out["pred_masks"])).all()
         assert np.isfinite(np.asarray(out["query_emb"])).all()
 
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_bf16_forward_finite_f32_outputs(self):
         """Mixed precision: bf16 compute, f32 loss-facing outputs, and params
         initialized f32 with the same tree as the f32 model."""
@@ -174,6 +175,7 @@ class TestFullModel:
         s32 = jax.tree_util.tree_structure(vars32["params"])
         assert s16 == s32
 
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_bf16_close_to_f32(self):
         """bf16 compute should track the f32 forward to bf16-level tolerance."""
         import dataclasses

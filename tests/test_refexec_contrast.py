@@ -26,6 +26,11 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# slow tier: executed-reference oracles load and run the reference's own
+# torch code — run on demand (pytest -m slow / -m "") , not in the
+# driver-facing fast tier (see tests/conftest.py tier banner)
+pytestmark = pytest.mark.slow
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

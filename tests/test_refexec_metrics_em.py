@@ -13,6 +13,10 @@ import pytest
 
 pytest.importorskip("scipy")
 
+# slow tier: executed-reference oracles run the reference's own code —
+# on demand (pytest -m slow / -m ""), not the driver-facing fast tier
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ref_exec import load_ref  # noqa: E402
 

@@ -17,6 +17,10 @@ import numpy as np
 import pytest
 
 pytest.importorskip("scipy")
+
+# slow tier: executed-reference oracles run the reference's own code —
+# on demand (pytest -m slow / -m ""), not the driver-facing fast tier
+pytestmark = pytest.mark.slow
 pytest.importorskip("torch")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -20,6 +20,11 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# slow tier: executed-reference oracles load and run the reference's own
+# torch code — run on demand (pytest -m slow / -m "") , not in the
+# driver-facing fast tier (see tests/conftest.py tier banner)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ref_exec import load_ref  # noqa: E402
 

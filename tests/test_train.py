@@ -127,6 +127,7 @@ class TestLRSchedule:
 
 
 class TestTrainStep:
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_loss_decreases_overfitting(self):
         cfg, model, tx, state, batch_np = tiny_setup(batch=1, size=32)
         criterion = SetCriterion(CRIT)
@@ -140,6 +141,7 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_sharded_step_matches_single_device(self):
         """One mesh program covers both distributed properties: the 8-way
         sharded step computes the same loss as the single-device program on

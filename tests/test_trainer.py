@@ -51,6 +51,7 @@ def tiny_cfg(tmp_path):
 
 
 class TestTrainerLoop:
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_train_validate_swa_and_logs(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         cfg.SOLVER.SWA.ENABLED = True
@@ -79,6 +80,7 @@ class TestTrainerLoop:
         assert ckpt.list_checkpoints(cfg.DATASET.OUTPUT_PATH)
         assert os.path.isdir(os.path.join(cfg.DATASET.OUTPUT_PATH, "checkpoint_swa"))
 
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_partial_restore_and_submission(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
         cfg.freeze()
@@ -115,6 +117,7 @@ class TestTrainerLoop:
             first = f["A1"][plants[0]]["label"]
             assert first.shape == (32, 32)
 
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_top_k_exact_fallback(self, tmp_path):
         """TOP_K peak filtering is lossy when > K queries clear the
         postprocess threshold (duplicate peaks, common mid-training); in
@@ -135,6 +138,7 @@ class TestTrainerLoop:
         probs = trainer.predict_probs(imgs, threshold=1.0 - 1e-6)
         assert probs.shape[1] == cfg.INFERENCE.TOP_K
 
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_synthetic_bbbc_validates_with_aji(self, tmp_path):
         """DATA_TYPE synthetic_bbbc routes validation through the BBBC
         protocol (test_bbbc -> AJI/F1/PQ, postprocess threshold 0.05) on
@@ -154,6 +158,7 @@ class TestTrainerLoop:
         assert eval_recs, lines
         assert {"AJI", "PQ", "F1"} <= set(eval_recs[-1]["eval"])
 
+    @pytest.mark.slow  # long trainer/compile — slow tier
     def test_tta_constructed_but_not_applied_to_instances(self, tmp_path):
         """AUG_MODE builds the TestAugmentor in test mode (reference
         trainer.py:78-84) but the per-query instance chain must NOT
