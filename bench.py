@@ -615,7 +615,10 @@ def bench_e2e(B: int, H: int, W: int, num_queries: int, top_k, dataset: str,
         int(r)  # landed checksum — forces this batch's paint completed
         return B
 
-    stages = (dispatch, cluster, paint, collect)
+    # the extra pass-through stage gives the label transfer a second
+    # batch interval to land before collect blocks on it (one interval
+    # ~90 ms hides only ~2 MB at this relay's ~20 MB/s)
+    stages = (dispatch, cluster, paint, lambda _b, v: v, collect)
 
     _status("e2e bench: compiling forward+stats / merge / paint programs")
     for _ in pipeline_batches([0], *stages):  # compile all + host path

@@ -443,6 +443,9 @@ class Trainer:
             lambda b, _: self._dispatch_labels(b["image"], thr),
             lambda b, h: self._cluster_stage(h, b["image"], thr, dataset),
             lambda b, p: self._post(dataset).finish(p),
+            # pass-through lag: gives the label map's async copy a second
+            # batch interval to land before the collect stage blocks
+            lambda b, lab: lab,
             lambda b, lab: np.asarray(lab),
         )
 
