@@ -160,17 +160,23 @@ def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None,
             peaks = top_peak
         else:
             peaks = masks.max(axis=(2, 3))
-        masks = resize_bilinear(masks, (H, W))
         if threshold is not None:
             import math as _math
 
+            from ..ops.resize_pallas import resize_bilinear_binarize
+
             logit_t = _math.log(threshold / (1.0 - threshold))
-            masks_bin = (masks > logit_t).astype(jnp.uint8)
+            # fused Pallas upsample+binarize: the full-resolution f32
+            # logits never touch HBM (868 MB/step at BBBC shapes; the
+            # largest eval family after ms-deform — BASELINE.md BBBC
+            # roofline).  Off-TPU this dispatches to the plain XLA path.
+            masks_bin = resize_bilinear_binarize(masks, (H, W), logit_t)
             if with_stats:
                 from ..inference.device_postprocess import packed_mask_stats
 
                 return masks_bin, packed_mask_stats(masks_bin, extra=peaks)
             return masks_bin, peaks
+        masks = resize_bilinear(masks, (H, W))
         return jax.nn.sigmoid(masks), peaks
 
     return eval_step

@@ -19,13 +19,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from pctrans_tpu.engine.state import TrainState, make_eval_step
 from pctrans_tpu.models import ModelConfig, PCTransModel
 
-TARGETS = sys.argv[1:] or ["fusion.2307", "fusion.61", "fusion.129",
-                           "fusion.86", "add_maximum_fusion"]
+ARGS = sys.argv[1:]
+# "bbbc" first arg switches to the BBBC protocol shapes (matching
+# tools_dev/profile_eval_tpu.py bbbc) so BBBC profiler spans resolve
+BBBC = bool(ARGS) and ARGS[0] == "bbbc"
+if BBBC:
+    ARGS = ARGS[1:]
+TARGETS = ARGS or ["fusion.2307", "fusion.61", "fusion.129",
+                   "fusion.86", "add_maximum_fusion"]
 
 
 def main():
-    B, H, W = 10, 530, 500
-    config = ModelConfig(dtype="bfloat16")
+    B, H, W, Q, top_k = (2, 520, 696, 300, None) if BBBC \
+        else (10, 530, 500, 100, 50)
+    config = ModelConfig(dtype="bfloat16", num_queries=Q)
     model = PCTransModel(config=config, train=False)
     x = jnp.zeros((B, H, W, 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), x[:1])
@@ -34,7 +41,7 @@ def main():
                        frozen=variables.get("frozen", {}),
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=None)
-    step = jax.jit(make_eval_step(config, top_k=50))
+    step = jax.jit(make_eval_step(config, top_k=top_k))
     compiled = step.lower(state, x).compile()
     hlo = compiled.as_text()
     print(f"HLO: {len(hlo.splitlines())} lines")
