@@ -175,6 +175,16 @@ def get_cfg_defaults() -> CfgNode:
     # instance ids can exceed 32767: transfer labels as int32 instead of
     # int16 (static per run — see engine/trainer.py label_dtype note)
     c.DATASET.WIDE_LABELS = False
+    # uint8 host->device batch transfer: images are affinely quantized to
+    # uint8 over TRANSFER_UINT8_RANGE on the host and dequantized on device
+    # (labels ship uint8 too when ids stay < 256, else the WIDE_LABELS rule
+    # applies).  Halves the f16/int16 per-step bytes again — measured
+    # 378 -> 135 ms/step through this environment's ~10 MB/s relay
+    # (tools_dev/opt_train_loop.py); the <=(hi-lo)/510 quantization error
+    # sits below bf16 compute rounding for unit-range sources.  OFF by
+    # default: f32/f16 transfers remain the bit-parity path.
+    c.DATASET.TRANSFER_UINT8 = False
+    c.DATASET.TRANSFER_UINT8_RANGE = [0.0, 1.0]
     c.DATASET.DO_2D = True
     c.DATASET.IS_ISOTROPIC = False   # legacy-zoo kernel/stride isotropy
     c.DATASET.REDUCE_LABEL = True

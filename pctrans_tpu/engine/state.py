@@ -55,10 +55,15 @@ def make_train_step(
     tx: optax.GradientTransformation,
     max_instances: int,
     axis_name: Optional[str] = None,
+    input_range: tuple = (0.0, 1.0),
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     ``batch``: {"image": [B, H, W, 3] float32, "label": [B, H, W] int32}.
+    Narrow transfer dtypes are widened on device; a uint8 image batch is
+    dequantized as ``u8 * (hi-lo)/255 + lo`` with ``(lo, hi)`` =
+    ``input_range`` (DATASET.TRANSFER_UINT8 — the trainer packs the host
+    side with the matching affine).
     """
     model = PCTransModel(config=model_config, train=True, axis_name=axis_name)
     # idempotent: lets every tx accept the ``value`` extra arg (the loss,
@@ -71,7 +76,12 @@ def make_train_step(
         # int16 labels: the trainer halves host->device bytes, which is
         # ~0.2 s/step through this environment's remote-TPU relay); widen
         # on device before any compute
-        images = batch["image"].astype(jnp.float32)
+        images = batch["image"]
+        if images.dtype == jnp.uint8:
+            lo, hi = float(input_range[0]), float(input_range[1])
+            images = images.astype(jnp.float32) * ((hi - lo) / 255.0) + lo
+        else:
+            images = images.astype(jnp.float32)
         labels = batch["label"].astype(jnp.int32)
         targets = targets_from_labels(labels, max_instances)
 

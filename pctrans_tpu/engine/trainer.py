@@ -113,7 +113,11 @@ class Trainer:
                 self.start_iter = int(self.state.step)
 
         self._train_step = jax.jit(
-            make_train_step(self.model_config, self.criterion, self.tx, self.max_instances)
+            make_train_step(self.model_config, self.criterion, self.tx,
+                            self.max_instances,
+                            input_range=tuple(
+                                cfg.DATASET.get("TRANSFER_UINT8_RANGE",
+                                                [0.0, 1.0])))
         )
         top_k = int(cfg.INFERENCE.get("TOP_K", 0) or 0)
         self._eval_step = jax.jit(
@@ -215,10 +219,32 @@ class Trainer:
                     "DATASET.WIDE_LABELS True (static int32 labels) — the "
                     "dtype cannot switch per batch without breaking the "
                     "multi-host SPMD program contract")
-            batch = shard_batch(self.mesh, {
-                "image": batch_np["image"].astype(img_dtype),
-                "label": batch_np["label"].astype(label_dtype),
-            })
+            if cfg.DATASET.get("TRANSFER_UINT8", False):
+                # uint8 transfer: affine-quantize images over the configured
+                # range (the train step dequantizes with the same constants);
+                # labels ride uint8 too unless WIDE_LABELS.  Same static-
+                # dtype contract as above: an id >= 256 fails loudly rather
+                # than switching dtypes mid-run.
+                lo, hi = cfg.DATASET.get("TRANSFER_UINT8_RANGE", [0.0, 1.0])
+                img = np.rint(
+                    (batch_np["image"].astype(np.float32) - lo)
+                    * (255.0 / (hi - lo))).clip(0, 255).astype(np.uint8)
+                if label_dtype == np.int16:
+                    if batch_np["label"].max() >= 256:
+                        raise ValueError(
+                            "instance id >= 256 with TRANSFER_UINT8 labels; "
+                            "set DATASET.WIDE_LABELS True to keep int32 "
+                            "label transfer under uint8 images")
+                    label_dtype = np.uint8
+                batch = shard_batch(self.mesh, {
+                    "image": img,
+                    "label": batch_np["label"].astype(label_dtype),
+                })
+            else:
+                batch = shard_batch(self.mesh, {
+                    "image": batch_np["image"].astype(img_dtype),
+                    "label": batch_np["label"].astype(label_dtype),
+                })
             self.state, metrics = self._train_step(self.state, batch, self.rng)
 
             if hasattr(self, "monitor"):

@@ -141,6 +141,32 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
 
+    def test_uint8_transfer_matches_float(self):
+        """DATASET.TRANSFER_UINT8: the uint8-packed batch dequantizes on
+        device to within the quantization step of the float batch, and a
+        train step on it produces a loss close to the float-batch loss."""
+        cfg, model, tx, state, batch_np = tiny_setup(batch=1, size=32)
+        criterion = SetCriterion(CRIT)
+        lo, hi = -0.25, 1.25
+        step = jax.jit(make_train_step(TINY, criterion, tx, max_instances=8,
+                                       input_range=(lo, hi)))
+        rng = jax.random.key(0)
+        f32_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        img_u8 = np.rint((batch_np["image"] - lo) * (255.0 / (hi - lo))
+                         ).clip(0, 255).astype(np.uint8)
+        u8_batch = {"image": jnp.asarray(img_u8),
+                    "label": jnp.asarray(batch_np["label"].astype(np.uint8))}
+        # round-trip error bound: half a quantization step (+ clip regions)
+        deq = img_u8.astype(np.float32) * ((hi - lo) / 255.0) + lo
+        clipped = ((batch_np["image"] < lo) | (batch_np["image"] > hi))
+        err = np.abs(deq - batch_np["image"])[~clipped]
+        assert err.max() <= (hi - lo) / 255.0 / 2 + 1e-6
+        _, m_f = step(state, f32_batch, rng)
+        _, m_u = step(state, u8_batch, rng)
+        lf, lu = float(m_f["loss"]), float(m_u["loss"])
+        assert np.isfinite(lu)
+        assert abs(lu - lf) / max(abs(lf), 1e-6) < 0.05, (lf, lu)
+
     @pytest.mark.slow  # long trainer/compile — slow tier
     def test_sharded_step_matches_single_device(self):
         """One mesh program covers both distributed properties: the 8-way

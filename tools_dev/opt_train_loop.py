@@ -45,6 +45,14 @@ from pctrans_tpu.models import PCTransModel, ModelConfig
 
 B, S, N = 2, 448, 20
 
+# optional argv filter: run only the named variants (e.g.
+#   python tools_dev/opt_train_loop.py scan8+u8 staged)
+ONLY = set(sys.argv[1:])
+
+
+def want(name: str) -> bool:
+    return not ONLY or name in ONLY
+
 
 def main():
     cfg = get_cfg_defaults()
@@ -96,7 +104,8 @@ def main():
         for _ in range(N):
             s, mm = step(s, staged, rng)
         float(mm["loss"])
-    timed("staged", run_staged)
+    if want("staged"):
+        timed("staged", run_staged)
 
     # B/C. fresh device_put per step
     def run_fresh(kind):
@@ -107,8 +116,10 @@ def main():
                 s, mm = step(s, b, rng)
             float(mm["loss"])
         return f
-    timed("f16", run_fresh("f16"))
-    timed("u8", run_fresh("u8"))
+    if want("f16"):
+        timed("f16", run_fresh("f16"))
+    if want("u8"):
+        timed("u8", run_fresh("u8"))
 
     # D/E. double-buffered: put batch i+1 before blocking on step i
     def run_buffered(kind):
@@ -121,8 +132,10 @@ def main():
                 s, mm = step(s, cur, rng)
             float(mm["loss"])
         return f
-    timed("f16+buf", run_buffered("f16"))
-    timed("u8+buf", run_buffered("u8"))
+    if want("f16+buf"):
+        timed("f16+buf", run_buffered("f16"))
+    if want("u8+buf"):
+        timed("u8+buf", run_buffered("u8"))
 
     # F. 8-step scan over a device-staged batch stack (dispatch amortization)
     K = 8
@@ -143,16 +156,44 @@ def main():
         return jax.lax.scan(body, s, stack)
 
     step_fn = make_train_step(config, criterion, tx, max_instances=40)
-    s2, losses = scan_steps(st, stack, rng)
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
     reps = max(N // K, 1)
-    s3 = st
+    if want("scan8"):
+        s2, losses = scan_steps(st, stack, rng)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        s3 = st
+        for _ in range(reps):
+            s3, losses = scan_steps(s3, stack, rng)
+        jax.block_until_ready(losses)
+        dt = (time.perf_counter() - t0) / (reps * K)
+        print(f"{'scan8':>8}: {dt*1e3:7.1f} ms/step  ({B/dt:5.1f} img/s)",
+              flush=True)
+
+    # G. scan8 + fresh uint8 stack transfer per dispatch (the production
+    # candidate: K-step fusion with narrow host->device bytes)
+    if not want("scan8+u8"):
+        return
+    host_stack_u8 = {
+        "image": np.clip(np.stack(
+            [np.stack([it["image"] for it in items[i * B:(i + 1) * B]])
+             for i in range(K)]) * 255, 0, 255).astype(np.uint8),
+        "label": np.stack(
+            [np.stack([it["label"] for it in items[i * B:(i + 1) * B]])
+             for i in range(K)]).astype(np.uint8),
+    }
+    nbytes = sum(v.nbytes for v in host_stack_u8.values())
+    print(f"u8 stack: {nbytes/1e6:.2f} MB / {K} steps", flush=True)
+    s4, losses = scan_steps(st, {k: jax.device_put(v)
+                                 for k, v in host_stack_u8.items()}, rng)
+    jax.block_until_ready(losses)  # compile the u8-input scan program
+    t0 = time.perf_counter()
+    s5 = st
     for _ in range(reps):
-        s3, losses = scan_steps(s3, stack, rng)
+        s5, losses = scan_steps(
+            s5, {k: jax.device_put(v) for k, v in host_stack_u8.items()}, rng)
     jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / (reps * K)
-    print(f"{'scan8':>8}: {dt*1e3:7.1f} ms/step  ({B/dt:5.1f} img/s)",
+    print(f"{'scan8+u8':>8}: {dt*1e3:7.1f} ms/step  ({B/dt:5.1f} img/s)",
           flush=True)
 
 
