@@ -807,8 +807,19 @@ def bench_train(dtype: str = "bfloat16", iters: int = 5):
         if len(attempts) >= 4 or remaining < 2.0 * elapsed + 10.0:
             break
     dt = min(attempts)
+
+    # A K-step lax.scan dispatch (to amortize the relay's 25-55 ms
+    # per-dispatch RPC cost out of the measurement) was tried 2026-08-20
+    # and DETERMINISTICALLY faults this environment's TPU worker
+    # ("UNAVAILABLE: kernel fault", then a worker crash loop) when the
+    # full train step runs under lax.scan — the same step chained from
+    # python is stable, as was an 8-step scan of the pre-round-5 step.
+    # Until that interaction is understood, the chained attempts above are
+    # the only train measurement; the device program span (38.2 ms,
+    # BASELINE.md train roofline) bounds what a local-attach host would
+    # see.
     return B / dt, (flops / B if flops else None), \
-        [round(a * 1e3, 1) for a in attempts]
+        [round(a * 1e3, 1) for a in attempts], None
 
 
 def main():
@@ -919,11 +930,18 @@ def main():
     _checkpoint()
 
     try:
-        train_ips, train_flops_per_img, train_attempts = bench_train()
+        train_ips, train_flops_per_img, train_attempts, train_scan_ms = \
+            bench_train()
         out["train_img_per_sec"] = round(train_ips, 3)
         # per-attempt ms/step, fastest kept — spread >> min means a degraded
         # relay, not a model regression
         out["train_ms_per_step_attempts"] = train_attempts
+        if train_scan_ms:
+            # device rate: 24 steps per dispatch (see bench_train) — what a
+            # local-attach host's loop would sustain
+            out["train_ms_per_step_scan24"] = train_scan_ms
+            out["train_img_per_sec_scan24"] = round(2.0 / train_scan_ms * 1e3,
+                                                    3)
         if train_flops_per_img:
             peak = _device_peak_tflops() * 1e12
             out["train_gflops_per_image"] = round(train_flops_per_img / 1e9, 1)

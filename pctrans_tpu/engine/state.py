@@ -185,8 +185,11 @@ def make_eval_step(model_config: ModelConfig, top_k: Optional[int] = None,
                 from ..inference.device_postprocess import packed_mask_stats
 
                 return masks_bin, packed_mask_stats(masks_bin, extra=peaks)
-            return masks_bin, peaks
+            return masks_bin, peaks.astype(jnp.float32)
         masks = resize_bilinear(masks, (H, W))
-        return jax.nn.sigmoid(masks), peaks
+        # full-probability protocol output is f32 regardless of the model
+        # compute dtype (host metric consumers expect numpy float32)
+        return jax.nn.sigmoid(masks).astype(jnp.float32), \
+            peaks.astype(jnp.float32)
 
     return eval_step

@@ -117,7 +117,9 @@ def pairwise_mask_dice(mask_logits: jnp.ndarray) -> jnp.ndarray:
     """dice[i, j] of sigmoided flattened masks [Q, h, w]
     (reference ``dice_for``, mask2former_transformer_decoder.py:917-927)."""
     Q = mask_logits.shape[0]
-    s = jax.nn.sigmoid(mask_logits.reshape(Q, -1))
+    # f32 regardless of the model compute dtype: the denominators are pixel
+    # counts up to h*w (~12.5k), where bf16 resolution is ~64
+    s = jax.nn.sigmoid(mask_logits.reshape(Q, -1).astype(jnp.float32))
     numer = jnp.matmul(s, s.T, precision=jax.lax.Precision.HIGHEST)
     sums = s.sum(axis=1)
     denom = sums[:, None] + sums[None, :]

@@ -323,14 +323,24 @@ class SetCriterion:
         seg = targets["seg"]
         tgt_dense = None
         if c.point_select == "dense":
+            Q = stacked.shape[2]
             h, w = stacked.shape[-2:]
             # GT on the logits' grid, once per step, shared by all layers
             tgt_dense = jax.lax.stop_gradient(
                 sample_label_onehot_grid(seg, (h, w), G).reshape(B, G, h * w))
-            indices = jax.vmap(
-                lambda p: dense_matcher_indices(
-                    p, tgt_dense, valid, c.mask_weight, c.dice_weight)
-            )(stacked_ng)  # [L, B, G]
+            # ONE flat (L*B)-lane vmap instead of vmap-over-L of a
+            # vmap-over-B: the JV solver is lane-parallel, and the measured
+            # floor (tools_dev/opt_matcher.py: 1.5 ms for the full [20,
+            # 100, 40] set) was taken at exactly this flat batching — the
+            # nested form lays the while-loop state out as [10, 2, ...]
+            # (2-wide minor tiles, T(2,128)) and profiles ~2.5 ms slower.
+            indices = dense_matcher_indices(
+                stacked_ng.reshape(L * B, Q, h, w),
+                jnp.broadcast_to(tgt_dense[None],
+                                 (L, B, G, h * w)).reshape(L * B, G, h * w),
+                jnp.broadcast_to(valid[None], (L, B, G)).reshape(L * B, G),
+                c.mask_weight, c.dice_weight,
+            ).reshape(L, B, G)
         else:
             indices = jax.vmap(
                 lambda k, p: point_matcher_indices(

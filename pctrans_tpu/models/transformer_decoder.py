@@ -409,7 +409,13 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
                 out = dynamic_mask_render(
                     feats, inst_xy, w1, w2, w3, b1, b2, b3,
                     (Hm, Wm), stride, self.rel_coord)
-                return out.reshape(B, Q, Hm, Wm)
+                # mask logits stay in the compute dtype: the criterion
+                # stacks all 10 layers' logits ([L, B, Q, Hm, Wm] — 100 MB
+                # in f32 at the 448^2 recipe) and casts f32 only after the
+                # G-query gather, so a f32 stack pays double HBM traffic for
+                # precision the loss never reads (the reference trains the
+                # same tensors in AMP fp16).  f32 configs are unaffected.
+                return out.reshape(B, Q, Hm, Wm).astype(dtype)
 
             if self.remat:
                 render = jax.checkpoint(render)
@@ -432,7 +438,9 @@ class MultiScaleMaskedTransformerDecoder(nn.Module):
                     feats, inst_xy, w1, w2, w3, b1, b2, b3,
                     hw=(Hm, Wm), stride=stride, rel_coord=self.rel_coord,
                     dtype=dtype)
-                return out.reshape(B, Q, Hm, Wm)
+                # compute-dtype output: see the pallas branch note (the f32
+                # cast inside render_reference fuses away against this)
+                return out.reshape(B, Q, Hm, Wm).astype(dtype)
 
             if self.remat:  # the [B, Q, ch, HW] tensors dominate memory
                 render = jax.checkpoint(render)

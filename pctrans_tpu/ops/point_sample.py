@@ -349,6 +349,31 @@ def sample_label_onehot_grid(seg: jnp.ndarray, hw: Tuple[int, int],
     """
     B, H, W = seg.shape
     h, w = hw
+    if H % h == 0 and W % w == 0:
+        # Integer stride ratio: every sample sits at x = j*rx + (rx-1)/2,
+        # so the four bilinear corners are REGULAR STRIDED SLICES of the
+        # label map with constant weights — no dynamic gather.  (The
+        # general corner gather below costs ~0.9 ms/step at the 448^2
+        # recipe: four 12.5k-row gathers against a batch-minor [B, H*W]
+        # layout; the slices are free.)  Bit-equal to the gather path:
+        # tx = ty = 0.5 exactly for even ratios (0 for odd), and
+        # 0.25*(a+b+c+d) with one-hot {0,1} corners is exact in f32.
+        ry, rx = H // h, W // w
+        oy, ox = (ry - 1) // 2, (rx - 1) // 2
+        ty, tx = ((ry - 1) % 2) * 0.5, ((rx - 1) % 2) * 0.5
+        ids = jnp.arange(1, num_ids + 1, dtype=seg.dtype)
+
+        def corner(dy, dx, wgt):
+            if wgt == 0.0:
+                return 0.0
+            c = seg[:, oy + dy::ry, ox + dx::rx][:, :h, :w]        # [B, h, w]
+            onehot = c[:, None, :, :] == ids[None, :, None, None]
+            return onehot.astype(jnp.float32) * wgt
+
+        return (corner(0, 0, (1 - ty) * (1 - tx))
+                + corner(0, 1, (1 - ty) * tx)
+                + corner(1, 0, ty * (1 - tx))
+                + corner(1, 1, ty * tx))
     x = (jnp.arange(w, dtype=jnp.float32) + 0.5) * (W / w) - 0.5   # [w]
     y = (jnp.arange(h, dtype=jnp.float32) + 0.5) * (H / h) - 0.5   # [h]
     gx = jnp.broadcast_to(x[None, :], (h, w)).reshape(-1)

@@ -25,6 +25,12 @@ def resize_nearest_torch(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Nearest resize matching torch's legacy index rule src = floor(dst*scale)."""
     H, W = x.shape[-2:]
     out_h, out_w = size
+    if H % out_h == 0 and W % out_w == 0:
+        # integer downsample ratio: floor(i * r) == i * r exactly, so the
+        # gather is a strided slice (the advanced-index form lowers to a
+        # dynamic gather that costs ~0.2 ms/step against the train batch's
+        # [B, 448, 448] label maps)
+        return x[..., :: H // out_h, :: W // out_w]
     rows = jnp.floor(jnp.arange(out_h) * (H / out_h)).astype(jnp.int32)
     cols = jnp.floor(jnp.arange(out_w) * (W / out_w)).astype(jnp.int32)
     return x[..., rows[:, None], cols[None, :]]

@@ -29,7 +29,9 @@ from pctrans_tpu.engine.state import TrainState, make_train_step
 from pctrans_tpu.losses import SetCriterion, CriterionConfig
 from pctrans_tpu.models import PCTransModel, ModelConfig
 
+import shutil as _shutil
 TRACE_DIR = "/tmp/train_fam_trace"
+_shutil.rmtree(TRACE_DIR, ignore_errors=True)  # a stale trace must never be re-read
 
 
 def main():
