@@ -328,19 +328,24 @@ class SetCriterion:
             # GT on the logits' grid, once per step, shared by all layers
             tgt_dense = jax.lax.stop_gradient(
                 sample_label_onehot_grid(seg, (h, w), G).reshape(B, G, h * w))
-            # ONE flat (L*B)-lane vmap instead of vmap-over-L of a
+            # ONE flat (B*L)-lane vmap instead of vmap-over-L of a
             # vmap-over-B: the JV solver is lane-parallel, and the measured
             # floor (tools_dev/opt_matcher.py: 1.5 ms for the full [20,
             # 100, 40] set) was taken at exactly this flat batching — the
             # nested form lays the while-loop state out as [10, 2, ...]
             # (2-wide minor tiles, T(2,128)) and profiles ~2.5 ms slower.
+            # B stays the MAJOR factor of the merged axis: under a
+            # batch-sharded mesh a (B, L) -> (B*L) merge keeps each
+            # shard's rows contiguous, so sharding propagates; the L-major
+            # merge forced an all-gather (caught by dryrun_multichip's
+            # collective audit).
             indices = dense_matcher_indices(
-                stacked_ng.reshape(L * B, Q, h, w),
-                jnp.broadcast_to(tgt_dense[None],
-                                 (L, B, G, h * w)).reshape(L * B, G, h * w),
-                jnp.broadcast_to(valid[None], (L, B, G)).reshape(L * B, G),
+                jnp.moveaxis(stacked_ng, 0, 1).reshape(B * L, Q, h, w),
+                jnp.broadcast_to(tgt_dense[:, None],
+                                 (B, L, G, h * w)).reshape(B * L, G, h * w),
+                jnp.broadcast_to(valid[:, None], (B, L, G)).reshape(B * L, G),
                 c.mask_weight, c.dice_weight,
-            ).reshape(L, B, G)
+            ).reshape(B, L, G).swapaxes(0, 1)  # [L, B, G]
         else:
             indices = jax.vmap(
                 lambda k, p: point_matcher_indices(
