@@ -265,6 +265,13 @@ class Trainer:
 
             if (it + 1) % cfg.SOLVER.ITERATION_SAVE == 0 and (it + 1) >= cfg.SOLVER.START_SAVE:
                 self.save_checkpoint(it)
+                # crash-safe SWA: the averaged params exist only in host
+                # memory between merges, and the reference writes them
+                # once at the end of training (trainer.py:666-684) — a
+                # kill in the averaging window would lose every merge.
+                # Refresh the on-disk checkpoint_swa at each save point.
+                if self.swa is not None and self.swa.params is not None:
+                    self.save_swa_checkpoint()
         jax.block_until_ready(self.state.params)
         if self.swa is not None and self.swa.params is not None:
             self.save_swa_checkpoint()
